@@ -1,0 +1,25 @@
+"""pdfredact_spark — a PySpark-native redaction-extraction engine.
+
+A from-scratch re-creation of the query/data-processing capabilities of
+daviburg/PdfRedact (a .NET PDF redaction CLI) re-expressed Spark-first over
+an Iceberg-style table of interleaved text+media span documents:
+
+    doc_id : string
+    spans  : array<struct<kind:string, text:string, media_ref:string, offset:int32>>
+
+Layers
+------
+- ``model``      — schemas, geometry<->offset encoding, Rule dataclass
+- ``kernel``     — pure numpy/pandas per-page kernels (tokenize / match / group /
+                   mask); exact-semantics port targets cited per function
+- ``fixtures``   — deterministic fixture corpus mirroring the reference test suite
+- ``plan``       — camelCase redaction-plan JSON (serializer parity)
+- ``pipeline``   — the distributed engine: vectorized applyInPandas stages,
+                   salted per-page parallelism, offset-keyed reassembly
+- ``checkpoint`` — per-partition lineage metrics + commit-log resume
+- ``queries``    — driver-contract query inventory (+ DuckDB oracle SQL)
+"""
+
+from pdfredact_spark.model import Rule, SPAN_SCHEMA, DOC_SCHEMA  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,564 @@
+"""Pure per-document kernels (no Spark imports).
+
+Exact-semantics re-creation of the reference's locate/apply algorithms over
+the span data model. Every function cites the reference behavior it
+reproduces (file:line into /root/reference/). These kernels are unit-tested
+as plain Python (tests/test_kernel.py ports the 16 reference xUnit facts)
+and are then invoked batch-at-a-time from Arrow-vectorized ``applyInPandas``
+stages in pipeline.py — there is no Spark row-at-a-time Python anywhere.
+
+Semantics notes (documented deviations, all fixture-consistent):
+
+- Whitespace in a text span is layout, not a glyph (PdfPig's page.Letters
+  only reports drawn glyphs); "words" are maximal non-space runs.
+- Literal case-insensitive compare uses str.lower() — equivalent to .NET
+  OrdinalIgnoreCase for the ASCII-ish fixture corpus (SURVEY.md F2 caveat).
+- A mask span carries text='' (content is redacted), media_ref =
+  ``mask:<doc>:<page>:<seq>`` with seq = the deterministic apply order
+  (Y desc, X asc within page — PdfSharpMaskApplicator.cs:65-68), offset =
+  the smallest covered-glyph offset. Surviving fragments of a split text
+  span are re-emitted with shifted offsets, stripped of whitespace left
+  dangling at the cut.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pdfredact_spark.model import (
+    DECI,
+    DEFAULT_PAGE_H,
+    DEFAULT_PAGE_W,
+    DIGIT_GAP_MULT,
+    DIGIT_H_MULT,
+    GLYPH_H,
+    GLYPH_STRIDE,
+    GLYPH_W,
+    LINE_TOL,
+    MIN_GAP,
+    PAGE_BASE,
+    ROW_BASE,
+    WORD_GAP_MULT,
+    WORD_H_MULT,
+    Rule,
+    parse_page_marker,
+    row_top,
+)
+
+_WS = " \t"
+
+
+@dataclass
+class Unit:
+    """A word or token: text + bbox + constituent glyph addresses.
+
+    ``chars`` lists (span_idx, char_idx) for every glyph in the unit so that
+    masking can splice the owning spans precisely.
+    """
+
+    text: str
+    left: float
+    right: float
+    bottom: float
+    top: float
+    chars: list[tuple[int, int]] = field(default_factory=list)
+
+
+@dataclass
+class Region:
+    """RedactionRegion analog (Models/RedactionRegion.cs:7-49) plus the
+    covered glyph set needed for span splicing."""
+
+    page: int
+    x: float
+    y: float
+    width: float
+    height: float
+    matched_text: str
+    rule_pattern: str
+    rotation: int
+    chars: list[tuple[int, int]] = field(default_factory=list)
+
+
+@dataclass
+class PageCtx:
+    number: int
+    rotation: int
+    width: float
+    height: float
+    marker_idx: int | None  # index into doc spans of the page marker
+    text_idx: list[int] = field(default_factory=list)   # text span indices
+    other_idx: list[int] = field(default_factory=list)  # media/other indices
+
+
+# ---------------------------------------------------------------------------
+# Page splitting
+# ---------------------------------------------------------------------------
+def split_pages(spans: list[dict]) -> list[PageCtx]:
+    """Group a doc's spans into pages by offset band (FIXTURES.md §2:
+    page band = offset // 200_000_000; marker spans kind='page' open pages).
+    Docs without markers get implicit pages with default US-Letter bounds.
+    """
+    pages: dict[int, PageCtx] = {}
+    for i, s in enumerate(spans):
+        band = s["offset"] // PAGE_BASE
+        number = band if band >= 1 else 1
+        ctx = pages.get(band)
+        if ctx is None:
+            ctx = PageCtx(number, 0, DEFAULT_PAGE_W, DEFAULT_PAGE_H, None)
+            pages[band] = ctx
+        if s["kind"] == "page":
+            num, rot, w, h = parse_page_marker(s["text"])
+            ctx.number, ctx.rotation, ctx.width, ctx.height = num, rot, w, h
+            ctx.marker_idx = i
+        elif s["kind"] == "text":
+            ctx.text_idx.append(i)
+        else:
+            ctx.other_idx.append(i)
+    return [pages[b] for b in sorted(pages)]
+
+
+def _span_geom(span: dict, page_h: float) -> tuple[int, float, float, float]:
+    """-> (row, x0, top, bottom) of the span's first glyph cell."""
+    rem = span["offset"] % PAGE_BASE
+    row = rem // ROW_BASE
+    x0 = (rem % ROW_BASE) / DECI
+    top = row_top(row, page_h)
+    return row, x0, top, top - GLYPH_H
+
+
+# ---------------------------------------------------------------------------
+# Word / letter extraction
+# ---------------------------------------------------------------------------
+def extract_words(spans: list[dict], text_idx: list[int], page_h: float) -> list[Unit]:
+    """Word scan analog of PdfPig page.GetWords() (PdfPigTextLocator.cs:106):
+    words = maximal non-space character runs of each text span, bbox from the
+    fixed glyph model. Sort: Bottom asc, then Left asc (the reference's
+    bottom-up quirk, SURVEY.md S2)."""
+    words: list[Unit] = []
+    for si in text_idx:
+        span = spans[si]
+        _, x0, top, bottom = _span_geom(span, page_h)
+        text = span["text"]
+        i, n = 0, len(text)
+        while i < n:
+            if text[i] in _WS:
+                i += 1
+                continue
+            j = i
+            while j < n and text[j] not in _WS:
+                j += 1
+            words.append(
+                Unit(
+                    text=text[i:j],
+                    left=x0 + GLYPH_W * i,
+                    right=x0 + GLYPH_W * j,
+                    bottom=bottom,
+                    top=top,
+                    chars=[(si, k) for k in range(i, j)],
+                )
+            )
+            i = j
+    words.sort(key=lambda w: (w.bottom, w.left))
+    return words
+
+
+def extract_letters(
+    spans: list[dict], text_idx: list[int], page_h: float
+) -> list[tuple[str, float, float, float, float, int, int]]:
+    """Letter scan analog of PdfPig page.Letters (PdfPigTextLocator.cs:485):
+    one entry per drawn glyph -> (ch, left, right, bottom, top, span_idx,
+    char_idx). Whitespace is layout, not a glyph."""
+    letters = []
+    for si in text_idx:
+        span = spans[si]
+        _, x0, top, bottom = _span_geom(span, page_h)
+        for k, ch in enumerate(span["text"]):
+            if ch in _WS:
+                continue
+            left = x0 + GLYPH_W * k
+            letters.append((ch, left, left + GLYPH_W, bottom, top, si, k))
+    return letters
+
+
+def upper_median(values: list[float]) -> float:
+    """Exact reference median: sorted asc, element at count//2 (upper median,
+    integer division — NOT interpolated; PdfPigTextLocator.cs:493-496)."""
+    s = sorted(values)
+    return s[len(s) // 2]
+
+
+# ---------------------------------------------------------------------------
+# Fragment-aware tokenizer (FragmentAwareTokenizer, PdfPigTextLocator.cs:472-708)
+# ---------------------------------------------------------------------------
+def _is_single_digit_token(text: str) -> bool:
+    """IsSingleDigitToken (PdfPigTextLocator.cs:662-676): len==1 and the char
+    is a digit or '-'.  char.IsDigit == Unicode Nd."""
+    if len(text) != 1:
+        return False
+    ch = text[0]
+    return ch == "-" or (ch.isdigit() and ord(ch) < 128) or _is_nd(ch)
+
+
+def _is_nd(ch: str) -> bool:
+    import unicodedata
+
+    return unicodedata.category(ch) == "Nd"
+
+
+def _merge_units(units: list[Unit]) -> Unit:
+    """MergeTokens (PdfPigTextLocator.cs:678-691): ordered concat + bbox union."""
+    return Unit(
+        text="".join(u.text for u in units),
+        left=min(u.left for u in units),
+        right=max(u.right for u in units),
+        bottom=min(u.bottom for u in units),
+        top=max(u.top for u in units),
+        chars=[c for u in units for c in u.chars],
+    )
+
+
+def tokenize_page(letters: list[tuple], ) -> list[Unit]:
+    """TokenizePage (PdfPigTextLocator.cs:484-509): upper-median glyph dims ->
+    adaptive thresholds; group letters into lines (top DESC anchor scan,
+    yTol = max(2.0, 0.3*medH)); two-pass token formation per line."""
+    if not letters:
+        return []
+    med_h = upper_median([t - b for _, _, _, b, t, _, _ in letters])
+    med_w = upper_median([r - l for _, l, r, _, _, _, _ in letters])
+
+    # --- GroupLettersIntoLines (:512-553): sort Top descending, anchor scan.
+    sorted_letters = sorted(letters, key=lambda L: -L[4])
+    y_tol = max(LINE_TOL, med_h * 0.3)
+    lines: list[list[tuple]] = []
+    current = [sorted_letters[0]]
+    baseline = sorted_letters[0][4]
+    for L in sorted_letters[1:]:
+        if abs(L[4] - baseline) <= y_tol:
+            current.append(L)
+        else:
+            lines.append(current)
+            current = [L]
+            baseline = L[4]
+    lines.append(current)
+
+    tokens: list[Unit] = []
+    for line in lines:
+        tokens.extend(_tokens_from_line(line, med_w, med_h))
+    return tokens
+
+
+def _tokens_from_line(line: list[tuple], med_w: float, med_h: float) -> list[Unit]:
+    """BuildTokensFromLine (PdfPigTextLocator.cs:555-659)."""
+    # Sort left asc (:563).
+    line = sorted(line, key=lambda L: L[1])
+
+    # PASS 1 — conservative word tokens, gap session (:566-592).
+    word_gap = max(MIN_GAP, max(med_w * WORD_GAP_MULT, med_h * WORD_H_MULT))
+    base: list[Unit] = []
+    run = [line[0]]
+    for prev, curr in zip(line, line[1:]):
+        gap = curr[1] - prev[2]
+        if gap <= word_gap:
+            run.append(curr)
+        else:
+            base.append(_unit_from_letters(run))
+            run = [curr]
+    base.append(_unit_from_letters(run))
+
+    # PASS 2 — join adjacent single-digit tokens into digit runs (:594-659).
+    digit_gap = max(MIN_GAP, max(med_w * DIGIT_GAP_MULT, med_h * DIGIT_H_MULT))
+    final: list[Unit] = []
+    pending: list[Unit] = []
+    for i, tok in enumerate(base):
+        if _is_single_digit_token(tok.text):
+            pending.append(tok)
+            cont = False
+            if i + 1 < len(base) and _is_single_digit_token(base[i + 1].text):
+                cont = (base[i + 1].left - tok.right) <= digit_gap
+            if not cont:
+                final.append(_merge_units(pending) if len(pending) > 1 else tok)
+                pending = []
+        else:
+            if pending:
+                final.append(_merge_units(pending) if len(pending) > 1 else pending[0])
+                pending = []
+            final.append(tok)
+    return final
+
+
+def _unit_from_letters(letters: list[tuple]) -> Unit:
+    """CreateTokenFromLetters (PdfPigTextLocator.cs:693-707)."""
+    return Unit(
+        text="".join(L[0] for L in letters),
+        left=min(L[1] for L in letters),
+        right=max(L[2] for L in letters),
+        bottom=min(L[3] for L in letters),
+        top=max(L[4] for L in letters),
+        chars=[(L[5], L[6]) for L in letters],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Searchable text + matching (A8, F1, F2)
+# ---------------------------------------------------------------------------
+def build_search_text(units: list[Unit]) -> tuple[str, list[int], list[int]]:
+    """BuildSearchableText[FromTokens] (PdfPigTextLocator.cs:165-219): join
+    unit texts with a single-space delimiter; record each unit's half-open
+    char range [start, end) via running length (exclusive prefix sum)."""
+    parts: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    pos = 0
+    for u in units:
+        starts.append(pos)
+        pos += len(u.text)
+        ends.append(pos)
+        parts.append(u.text)
+        pos += 1  # space delimiter
+    return " ".join(parts) + (" " if parts else ""), starts, ends
+
+
+def find_matches(search_text: str, rule: Rule) -> list[tuple[int, int, str]]:
+    """FindMatches (PdfPigTextLocator.cs:221-260) -> [(start, end, text)].
+
+    Regex: Python re.finditer ~ .NET Regex.Matches with CultureInvariant
+    (+IgnoreCase when case_sensitive=False). Literal: non-overlapping
+    IndexOf loop advancing by len(pattern)."""
+    out: list[tuple[int, int, str]] = []
+    if rule.is_regex:
+        flags = 0 if rule.case_sensitive else re.IGNORECASE
+        for m in re.finditer(rule.pattern, search_text, flags):
+            out.append((m.start(), m.end(), m.group(0)))
+    else:
+        pat = rule.pattern
+        hay = search_text if rule.case_sensitive else search_text.lower()
+        needle = pat if rule.case_sensitive else pat.lower()
+        idx = 0
+        while True:
+            idx = hay.find(needle, idx)
+            if idx == -1:
+                break
+            out.append((idx, idx + len(pat), pat))
+            idx += len(pat)
+    return out
+
+
+def overlapping_units(
+    starts: list[int], ends: list[int], m_start: int, m_end: int
+) -> list[int]:
+    """GetMatchingWords/Tokens (PdfPigTextLocator.cs:280-294): units with
+    end > m_start and start < m_end. Units are contiguous and sorted by
+    start, so the hits are one index range — found by bisection (the O(log n)
+    upgrade the reference itself flags at IMPLEMENTATION.md:158)."""
+    import bisect
+
+    lo = bisect.bisect_right(ends, m_start)   # first unit with end > m_start
+    hi = bisect.bisect_left(starts, m_end)    # first unit with start >= m_end
+    return list(range(lo, hi))
+
+
+def group_units_by_line(units: list[Unit]) -> list[list[Unit]]:
+    """GroupWordsByLine / GroupTokensByLine (PdfPigTextLocator.cs:300-382):
+    sort Bottom asc (stable), anchor-based clustering — a unit joins the
+    current line iff |bottom - anchor| <= 2.0 where anchor is the FIRST
+    unit's bottom (fixed per cluster, not a rolling lag)."""
+    if not units:
+        return []
+    s = sorted(units, key=lambda u: u.bottom)
+    groups: list[list[Unit]] = []
+    current = [s[0]]
+    anchor = s[0].bottom
+    for u in s[1:]:
+        if abs(u.bottom - anchor) <= LINE_TOL:
+            current.append(u)
+        else:
+            groups.append(current)
+            current = [u]
+            anchor = u.bottom
+    groups.append(current)
+    return groups
+
+
+def region_from_units(
+    page: PageCtx, units: list[Unit], matched_text: str, pattern: str
+) -> Region:
+    """CreateRedactionRegion[FromTokens] (PdfPigTextLocator.cs:389-432):
+    bbox union of the unit group."""
+    min_x = min(u.left for u in units)
+    min_y = min(u.bottom for u in units)
+    max_x = max(u.right for u in units)
+    max_y = max(u.top for u in units)
+    return Region(
+        page=page.number,
+        x=min_x,
+        y=min_y,
+        width=max_x - min_x,
+        height=max_y - min_y,
+        matched_text=matched_text,
+        rule_pattern=pattern,
+        rotation=page.rotation,
+        chars=[c for u in units for c in u.chars],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Locate (ProcessPage, PdfPigTextLocator.cs:54-132)
+# ---------------------------------------------------------------------------
+def locate_page(spans: list[dict], page: PageCtx, rules: list[Rule]) -> list[Region]:
+    regions: list[Region] = []
+    frag_rules = [r for r in rules if r.use_fragment_mode()]
+    word_rules = [r for r in rules if not r.use_fragment_mode()]
+
+    if frag_rules:
+        letters = extract_letters(spans, page.text_idx, page.height)
+        tokens = tokenize_page(letters)
+        text, starts, ends = build_search_text(tokens)
+        for rule in frag_rules:
+            for m_start, m_end, m_text in find_matches(text, rule):
+                hit = [tokens[i] for i in overlapping_units(starts, ends, m_start, m_end)]
+                if hit:
+                    for group in group_units_by_line(hit):
+                        regions.append(region_from_units(page, group, m_text, rule.pattern))
+
+    if word_rules:
+        words = extract_words(spans, page.text_idx, page.height)
+        text, starts, ends = build_search_text(words)
+        for rule in word_rules:
+            for m_start, m_end, m_text in find_matches(text, rule):
+                hit = [words[i] for i in overlapping_units(starts, ends, m_start, m_end)]
+                if hit:
+                    for group in group_units_by_line(hit):
+                        regions.append(region_from_units(page, group, m_text, rule.pattern))
+
+    return regions
+
+
+def locate_document(doc_id: str, spans: list[dict], rules: list[Rule]) -> list[Region]:
+    """LocateText (PdfPigTextLocator.cs:20-52): empty rule set -> empty plan;
+    else per page in order."""
+    if not rules:
+        return []
+    regions: list[Region] = []
+    for page in split_pages(spans):
+        regions.extend(locate_page(spans, page, rules))
+    return regions
+
+
+# ---------------------------------------------------------------------------
+# Apply (PdfSharpMaskApplicator.cs:20-126) in span space
+# ---------------------------------------------------------------------------
+class RotationError(Exception):
+    """Fail-fast parity with PdfSharpMaskApplicator.cs:95-102."""
+
+
+def redact_document(
+    doc_id: str,
+    spans: list[dict],
+    rules: list[Rule],
+    flatten: bool = False,
+) -> tuple[list[dict], list[Region], int]:
+    """Fused locate+apply (RedactCommand.cs:126-225 lifecycle).
+
+    Returns (output spans sorted by offset, regions, n_rule_hits).
+    Raises RotationError when any region lands on a rotated page (the
+    reference's NotSupportedException). Zero regions -> output == input
+    verbatim (File.Copy pass-through, ApplyCommand.cs:65-69)."""
+    pages = split_pages(spans)
+    if not rules:
+        regions: list[Region] = []
+    else:
+        regions = []
+        for page in pages:
+            regions.extend(locate_page(spans, page, rules))
+
+    if not regions and not flatten:
+        return list(spans), [], 0
+
+    for r in regions:
+        if r.rotation != 0:
+            raise RotationError(
+                f"Page rotation ({r.rotation}°) is not currently supported."
+            )
+
+    # Deterministic apply order (W6): group by page asc, order Y desc, X asc.
+    by_page: dict[int, list[Region]] = {}
+    for r in regions:
+        by_page.setdefault(r.page, []).append(r)
+
+    covered: dict[int, set[int]] = {}  # span_idx -> covered char indices
+    mask_spans: list[dict] = []
+    for page_num in sorted(by_page):
+        ordered = sorted(by_page[page_num], key=lambda r: (-r.y, r.x))
+        for seq, r in enumerate(ordered, start=1):
+            min_off = None
+            for si, ci in r.chars:
+                covered.setdefault(si, set()).add(ci)
+                off = spans[si]["offset"] + GLYPH_STRIDE * ci
+                if min_off is None or off < min_off:
+                    min_off = off
+            mask_spans.append(
+                {
+                    "kind": "mask",
+                    "text": "",
+                    "media_ref": f"mask:{doc_id}:{page_num}:{seq}",
+                    "offset": int(min_off),
+                }
+            )
+
+    out: list[dict] = []
+    for si, s in enumerate(spans):
+        cov = covered.get(si)
+        if not cov:
+            out.append(s)
+            continue
+        # Split the span into surviving runs of uncovered chars; strip
+        # whitespace dangling at cut boundaries; shift offsets per glyph cell.
+        text = s["text"]
+        run_start = None
+        runs: list[tuple[int, int]] = []
+        for k in range(len(text) + 1):
+            alive = k < len(text) and k not in cov
+            if alive and run_start is None:
+                run_start = k
+            elif not alive and run_start is not None:
+                runs.append((run_start, k))
+                run_start = None
+        for a, b in runs:
+            while a < b and text[a] in _WS:
+                a += 1
+            while b > a and text[b - 1] in _WS:
+                b -= 1
+            if a == b:
+                continue
+            out.append(
+                {
+                    "kind": "text",
+                    "text": text[a:b],
+                    "media_ref": s["media_ref"],
+                    "offset": int(s["offset"] + GLYPH_STRIDE * a),
+                }
+            )
+    out.extend(mask_spans)
+
+    if flatten:
+        # FLATTEN_MODE.md:4-11 / north_star flatten events: each page's
+        # content collapses to one image-only media span; page markers stay.
+        flat: list[dict] = []
+        for page in pages:
+            if page.marker_idx is not None:
+                flat.append(spans[page.marker_idx])
+            band = max(page.number, 1)
+            flat.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": f"flat:{doc_id}:{page.number}",
+                    "offset": int(band * PAGE_BASE + 1),
+                }
+            )
+        out = flat
+
+    out.sort(key=lambda s: (s["offset"], s["kind"], s["media_ref"], s["text"]))
+    return out, regions, len(regions)

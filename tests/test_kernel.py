@@ -1,0 +1,204 @@
+"""Pure-kernel golden tests: port of the reference's 16 xUnit facts
+(/root/reference/tests/PdfRedact.Core.Tests/) onto the span data model,
+plus the span-sequence invariant checks over the fixture corpus.
+
+No Spark here — these validate the algorithms before any cluster concern.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pdfredact_spark.fixtures import (
+    MULTI_RULES,
+    PAGE1_LINES,
+    SSN_RULE,
+    all_fixtures,
+    corpus_doc,
+    demo_doc,
+    mega_doc,
+)
+from pdfredact_spark.kernel import (
+    RotationError,
+    locate_document,
+    redact_document,
+)
+from pdfredact_spark.model import Rule
+
+
+def invariant(spans: list[dict]) -> list[tuple]:
+    """BASELINE.json per-row invariant: (kind, text, media_ref) in offset order."""
+    return [
+        (s["kind"], s["text"], s["media_ref"])
+        for s in sorted(spans, key=lambda s: (s["offset"], s["kind"], s["media_ref"], s["text"]))
+    ]
+
+
+# ---------------------------------------------------------------------------
+# FragmentAwareTextLocatorTests ports
+# ---------------------------------------------------------------------------
+def test_boxed_digits_literal_pattern_finds_match():  # :45-75
+    fx = all_fixtures()["fx-01"]
+    regions = locate_document("fx-01", fx["doc"]["spans"], fx["rules"])
+    assert len(regions) == 1
+    r = regions[0]
+    assert r.page == 1
+    assert r.matched_text == "1234"
+    assert r.rule_pattern == "1234"
+    assert r.width > 0 and r.height > 0
+
+
+def test_boxed_digits_regex_pattern_finds_match():  # :77-106
+    fx = all_fixtures()["fx-02"]
+    regions = locate_document("fx-02", fx["doc"]["spans"], fx["rules"])
+    assert len(regions) == 1
+    assert regions[0].matched_text == "5678"
+    assert regions[0].rule_pattern == r"\d{4}"
+
+
+def test_boxed_digits_autodetect_numeric_pattern():  # :108-132
+    fx = all_fixtures()["fx-03"]
+    regions = locate_document("fx-03", fx["doc"]["spans"], fx["rules"])
+    assert len(regions) == 1
+
+
+def test_boxed_digits_disabled_fragment_aware_no_match():  # :134-158
+    fx = all_fixtures()["fx-04"]
+    regions = locate_document("fx-04", fx["doc"]["spans"], fx["rules"])
+    assert regions == []
+
+
+def test_ssn_pattern_finds_fragmented_digits():  # :160-184
+    fx = all_fixtures()["fx-05"]
+    regions = locate_document("fx-05", fx["doc"]["spans"], fx["rules"])
+    assert len(regions) == 1
+    assert regions[0].matched_text == "123456789"
+
+
+def test_multiple_boxed_sequences_finds_all_matches():  # :186-209
+    fx = all_fixtures()["fx-06"]
+    regions = locate_document("fx-06", fx["doc"]["spans"], fx["rules"])
+    assert len(regions) == 2
+
+
+def test_mixed_content_fragment_aware_and_word_based():  # :211-246
+    fx = all_fixtures()["fx-07"]
+    regions = locate_document("fx-07", fx["doc"]["spans"], fx["rules"])
+    assert len(regions) == 2
+    digit = next(r for r in regions if r.matched_text == "9876")
+    assert digit.width < 150, f"width {digit.width} suggests over-redaction"
+
+
+def test_boxed_digits_does_not_over_redact():  # :248-274
+    fx = all_fixtures()["fx-08"]
+    regions = locate_document("fx-08", fx["doc"]["spans"], fx["rules"])
+    assert len(regions) == 1
+    assert regions[0].matched_text == "1234"
+    assert regions[0].width < 150
+
+
+# ---------------------------------------------------------------------------
+# RedactionModelTests ports (:7-99)
+# ---------------------------------------------------------------------------
+def test_empty_rules_returns_empty_plan():  # PdfPigTextLocator.cs:37-41
+    doc = demo_doc("m-1")
+    assert locate_document("m-1", doc["spans"], []) == []
+
+
+def test_rule_defaults():  # RedactionRule.cs:19,24 defaults
+    r = Rule("abc")
+    assert r.is_regex is False
+    assert r.case_sensitive is True
+    assert r.fragment_aware is None
+
+
+def test_fragment_mode_router():  # PdfPigTextLocator.cs:138-159
+    assert Rule("123-45-6789").use_fragment_mode() is True  # numeric literal
+    assert Rule("12/34 56").use_fragment_mode() is True
+    assert Rule("Email:").use_fragment_mode() is False  # non-numeric literal
+    assert Rule(r"\d{4}", is_regex=True).use_fragment_mode() is False  # regex auto
+    assert Rule(r"\d{4}", is_regex=True, fragment_aware=True).use_fragment_mode() is True
+    assert Rule("1234", fragment_aware=False).use_fragment_mode() is False
+
+
+def test_case_insensitive_literal():
+    doc = demo_doc("m-2")
+    regions = locate_document(
+        "m-2", doc["spans"], [Rule("EMAIL:", case_sensitive=False)]
+    )
+    assert len(regions) == 1
+    assert regions[0].matched_text == "EMAIL:"
+
+
+def test_literal_non_overlapping_scan():  # PdfPigTextLocator.cs:246-256
+    from pdfredact_spark.kernel import find_matches
+
+    # "aaaa" with pattern "aa" -> 2 non-overlapping hits, resume at +len
+    assert find_matches("aaaa", Rule("aa")) == [(0, 2, "aa"), (2, 4, "aa")]
+
+
+# ---------------------------------------------------------------------------
+# Span-sequence golden equality over the fixture corpus (BASELINE.json invariant)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("fid", sorted(all_fixtures().keys()))
+def test_fixture_span_sequence(fid):
+    fx = all_fixtures()[fid]
+    doc = fx["doc"]
+    if fx["expected"] == "error":
+        with pytest.raises(RotationError):
+            redact_document(doc["doc_id"], doc["spans"], fx["rules"],
+                            flatten=fx.get("flatten", False))
+        return
+    out, _, _ = redact_document(
+        doc["doc_id"], doc["spans"], fx["rules"], flatten=fx.get("flatten", False)
+    )
+    assert invariant(out) == invariant(fx["expected"]), fid
+    # masks also carry deterministic media_ref ordering
+    assert [s["media_ref"] for s in out] == [s["media_ref"] for s in fx["expected"]]
+
+
+def test_multi_pattern_demo():  # README.md:81-87 rule set over demo doc
+    doc = demo_doc("mp-1")
+    out, regions, hits = redact_document("mp-1", doc["spans"], MULTI_RULES)
+    matched = sorted(r.matched_text for r in regions)
+    assert "123-45-6789" in matched
+    assert "4532-1234-5678-9010" in matched
+    assert any("@" in m for m in matched)
+    assert "987-65-4321" in matched
+    # masks coexist ordered by offset
+    kinds = [s["kind"] for s in out]
+    assert kinds.count("mask") == len(regions)
+    offs = [s["offset"] for s in out]
+    assert offs == sorted(offs)
+
+
+def test_mega_doc_correctness():  # fx-13 skew probe, correctness side
+    doc = mega_doc("fx-13", n_spans=10_000)
+    out, regions, hits = redact_document("fx-13", doc["spans"], [SSN_RULE])
+    # every repeated copy of the SSN line yields exactly one mask
+    n_ssn_lines = sum(
+        1 for s in doc["spans"] if s["kind"] == "text" and "123-45-6789" in s["text"]
+    )
+    assert hits == n_ssn_lines
+    assert sum(1 for s in out if s["kind"] == "mask") == n_ssn_lines
+
+
+def test_corpus_doc_deterministic():
+    a, b = corpus_doc(7), corpus_doc(7)
+    assert a == b
+    c = corpus_doc(8)
+    assert c["spans"] != a["spans"]
+    # the SSN survives digit permutation as a matchable pattern
+    out, _, hits = redact_document(c["doc_id"], c["spans"], [SSN_RULE])
+    assert hits >= 2  # one per page
+    # media span passes through untouched
+    assert any(s["kind"] == "media" for s in out)
+
+
+def test_rotated_page_without_matches_passes_through():
+    # rotation fail-fast only fires when a region lands on the rotated page
+    # (PdfSharpMaskApplicator.cs drawing path, not the locator)
+    doc = demo_doc("rot-1", rotation_page1=90)
+    out, _, hits = redact_document("rot-1", doc["spans"], [Rule("NO-SUCH")])
+    assert hits == 0
+    assert invariant(out) == invariant(doc["spans"])
