@@ -1,0 +1,148 @@
+"""Per-partition lineage + commit-log resumability (SURVEY.md §4.3/§4.4).
+
+Spark batch jobs have no cross-job resume, so the pipeline processes the
+input in deterministic PARTITION BUCKETS and commits a manifest per batch:
+
+- every document is assigned ``bucket = pmod(xxhash64(doc_id), n_buckets)``
+  — deterministic under retries and across runs;
+- the job loops over bucket batches; each batch writes its output under
+  ``<out>/data/batch=<k>/`` (overwrite-idempotent: a re-run of an
+  uncommitted batch simply rewrites it) and lineage rows under
+  ``<out>/metrics/batch=<k>/``;
+- a batch is COMMITTED by atomically renaming a manifest into
+  ``<out>/_commits/batch-<k>.json`` (os.rename is atomic on POSIX);
+- on restart, committed batches are skipped (the left-anti filter is a
+  driver-side bucket-set difference, so no Spark work is scheduled for
+  committed data at all).
+
+This is the Parquet+manifest stand-in for an Iceberg catalog: with Iceberg
+jars on the cluster, swap the two ``write.parquet`` calls for
+``writeTo(...).append()`` and the manifest for Iceberg's snapshot commit —
+the orchestration is unchanged (the sandbox's PySpark ships no Iceberg
+runtime, TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdfredact_spark.model import Rule
+from pdfredact_spark.pipeline import redact_with_hits
+
+
+class KillSwitch(Exception):
+    """Raised by tests to simulate a mid-run job kill."""
+
+
+def _commit_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_commits")
+
+
+def committed_batches(out_dir: str) -> set[int]:
+    cdir = _commit_dir(out_dir)
+    if not os.path.isdir(cdir):
+        return set()
+    out = set()
+    for name in os.listdir(cdir):
+        if name.startswith("batch-") and name.endswith(".json"):
+            out.add(int(name[len("batch-"):-len(".json")]))
+    return out
+
+
+def _commit(out_dir: str, batch_id: int, manifest: dict) -> None:
+    cdir = _commit_dir(out_dir)
+    os.makedirs(cdir, exist_ok=True)
+    tmp = os.path.join(cdir, f".batch-{batch_id}.json.tmp")
+    final = os.path.join(cdir, f"batch-{batch_id}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.rename(tmp, final)  # atomic commit point
+
+
+def run_resumable(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    rules: list[Rule],
+    run_id: str = "run-0",
+    n_buckets: int = 16,
+    buckets_per_batch: int = 4,
+    flatten: bool = False,
+    kill_after_batches: int | None = None,
+) -> DataFrame:
+    """Resumable redaction over ``docs`` (doc_id, spans).
+
+    Returns the full output DataFrame read back from ``out_dir/data``.
+    ``kill_after_batches`` simulates a crash for the resume test.
+    """
+    docs = docs.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+    done = committed_batches(out_dir)
+    batch_ids = list(range((n_buckets + buckets_per_batch - 1) // buckets_per_batch))
+
+    processed = 0
+    for batch_id in batch_ids:
+        if batch_id in done:
+            continue
+        lo = batch_id * buckets_per_batch
+        hi = min(lo + buckets_per_batch, n_buckets)
+        batch = docs.filter((F.col("bucket") >= lo) & (F.col("bucket") < lo + buckets_per_batch))
+        out, errs = redact_with_hits(batch.select("doc_id", "spans"), rules, flatten)
+        out = out.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+
+        data_path = os.path.join(out_dir, "data", f"batch={batch_id}")
+        out.select("doc_id", "spans", "bucket").write.mode("overwrite").parquet(data_path)
+
+        # Lineage rows: one per bucket (the resume partition unit).
+        metrics = (
+            out.groupBy("bucket")
+            .agg(
+                F.min("doc_id").alias("doc_id_min"),
+                F.max("doc_id").alias("doc_id_max"),
+                F.count("*").alias("n_docs"),
+                F.sum("n_spans").alias("n_spans"),
+                F.sum("n_rule_hits").alias("n_rule_hits"),
+                F.sum(
+                    F.aggregate(
+                        "spans",
+                        F.lit(0).cast("long"),
+                        lambda acc, s: acc + F.length(s.text) + F.length(s.media_ref) + 8,
+                    )
+                ).alias("bytes_processed"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("partition_id", F.col("bucket"))
+        )
+        metrics_path = os.path.join(out_dir, "metrics", f"batch={batch_id}")
+        metrics.write.mode("overwrite").parquet(metrics_path)
+
+        err_rows = errs.collect()
+        _commit(
+            out_dir,
+            batch_id,
+            {
+                "run_id": run_id,
+                "batch_id": batch_id,
+                "buckets": list(range(lo, hi)),
+                "n_errors": len(err_rows),
+                "errors": [{"doc_id": r["doc_id"], "error": r["error"]} for r in err_rows[:100]],
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            },
+        )
+        processed += 1
+        if kill_after_batches is not None and processed >= kill_after_batches:
+            raise KillSwitch(f"killed after {processed} batch(es)")
+
+    return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
+def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "metrics"))

@@ -1,0 +1,69 @@
+"""Resumability: kill the job after the first committed batch, restart,
+and assert (a) output identical to an uninterrupted run, (b) committed
+batches are not re-processed, (c) lineage metrics cover every partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pdfredact_spark.checkpoint import (
+    KillSwitch,
+    committed_batches,
+    read_metrics,
+    run_resumable,
+)
+from pdfredact_spark.fixtures import SSN_RULE, corpus
+from pdfredact_spark.pipeline import docs_to_df
+
+
+def _invariant(df):
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in df.collect()
+    }
+
+
+def test_kill_and_resume_identical_output(spark, tmp_path):
+    docs = corpus(60)
+    df = docs_to_df(spark, docs)
+
+    # Reference run, uninterrupted.
+    ref_dir = str(tmp_path / "ref")
+    ref = run_resumable(spark, df, ref_dir, [SSN_RULE], run_id="ref",
+                        n_buckets=8, buckets_per_batch=2)
+    ref_rows = _invariant(ref)
+    assert len(ref_rows) == 60
+
+    # Killed run: crashes after 1 committed batch.
+    out_dir = str(tmp_path / "killed")
+    with pytest.raises(KillSwitch):
+        run_resumable(spark, df, out_dir, [SSN_RULE], run_id="r1",
+                      n_buckets=8, buckets_per_batch=2, kill_after_batches=1)
+    first = committed_batches(out_dir)
+    assert len(first) == 1
+    mtimes = {
+        b: os.path.getmtime(os.path.join(out_dir, "_commits", f"batch-{b}.json"))
+        for b in first
+    }
+
+    # Restart: resumes from the commit log.
+    resumed = run_resumable(spark, df, out_dir, [SSN_RULE], run_id="r1",
+                            n_buckets=8, buckets_per_batch=2)
+    assert committed_batches(out_dir) == {0, 1, 2, 3}
+    # the already-committed batch was NOT re-processed (manifest untouched)
+    for b, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(out_dir, "_commits", f"batch-{b}.json")) == t
+
+    assert _invariant(resumed) == ref_rows
+
+    # Lineage metrics cover every bucket with sane counts.
+    m = read_metrics(spark, out_dir)
+    rows = m.collect()
+    assert {r["partition_id"] for r in rows} == set(range(8))
+    assert sum(r["n_docs"] for r in rows) == 60
+    assert all(r["n_rule_hits"] >= r["n_docs"] for r in rows)  # >=1 SSN hit per doc
+    assert all(r["bytes_processed"] > 0 for r in rows)
+    assert all(r["doc_id_min"] <= r["doc_id_max"] for r in rows)
