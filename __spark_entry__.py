@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query — converts the sf0.001 ``documents``
+  table into span documents Spark-natively and runs the fused
+  locate+apply redaction pipeline (the reference ``redact`` command
+  lifecycle, RedactCommand.cs:126-225), returning per-doc mask summaries.
+- ``queries()``: one entry per implemented operator family
+  (SURVEY.md §2 + training-data-pipeline operators).
+- ``oracle_sql()``: DuckDB twins. Pipeline queries that are not
+  SQL-expressible get kernel-computed VALUES oracles (see
+  pdfredact_spark/corpus_queries.py for why that is a real check);
+  ``ann_lsh_topk`` is rows-only (approximate bucket recall).
 """
 
 from __future__ import annotations
@@ -12,27 +17,68 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdfredact_spark.model import Rule, page_marker_text
+from pdfredact_spark.pipeline import redact
+
+FLAGSHIP_RULES = [
+    Rule("spark"),  # literal, auto -> word-based
+    Rule(r"[a-z]*value[a-z]*", is_regex=True),  # regex, auto -> word-based
+]
+
+
+def _documents_as_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift the flat documents table into the span-document model
+    Spark-natively (no Python): one page marker + one text span per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    marker = F.struct(
+        F.lit("page").alias("kind"),
+        F.lit(page_marker_text(1)).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(200_000_000).alias("offset"),
+    )
+    body = F.struct(
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(200_000_720).alias("offset"),
+    )
+    return docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(marker, body).alias("spans"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sf0.001 documents -> span docs -> redact -> mask summary."""
+    span_docs = _documents_as_span_docs(spark, "/root/testdata/sf0.001")
+    out, _errors = redact(span_docs, FLAGSHIP_RULES)
+    return out.select(
+        "doc_id",
+        F.size(F.filter("spans", lambda s: s.kind == F.lit("mask")))
+        .cast("long")
+        .alias("n_masks"),
+        F.size("spans").cast("long").alias("n_spans"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdfredact_spark.corpus_queries import PIPELINE_QUERIES
+    from pdfredact_spark.queries import ROWS_ONLY_QUERIES, SQL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    out.update(SQL_QUERIES)
+    out.update(PIPELINE_QUERIES)
+    out.update(ROWS_ONLY_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdfredact_spark.corpus_queries import PIPELINE_ORACLES
+    from pdfredact_spark.queries import ORACLE_SQL
+
+    out = dict(ORACLE_SQL)
+    for name, fn in PIPELINE_ORACLES.items():
+        out[name] = fn()
+    return out

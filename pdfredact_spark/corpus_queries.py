@@ -1,0 +1,182 @@
+"""Driver-contract queries that exercise the REDACTION PIPELINE itself.
+
+The driver's DuckDB oracle can only run SQL over the testdata parquet
+tables, and the redaction operators (anchor clustering, fragment
+tokenization, span splicing) are not SQL-expressible. So these queries run
+the distributed pipeline over the deterministic fixture corpus and their
+oracles are VALUES literals computed by the PURE KERNEL (kernel.py) — which
+is itself golden-tested against hand-derived expectations
+(tests/test_kernel.py). The driver check therefore asserts
+distributed-Spark == local-kernel, catching any divergence introduced by
+the Arrow boundary, page-level parallelism, or reassembly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdfredact_spark.fixtures import MULTI_RULES, SSN_RULE, corpus, demo_doc
+from pdfredact_spark.kernel import locate_document, redact_document
+from pdfredact_spark.media import decode_media, fetch_media_bytes, media_metadata
+from pdfredact_spark.pipeline import docs_to_df, locate_regions, redact
+
+_CORPUS_N = 48
+_DEMO_N = 4
+
+
+def _corpus_docs() -> list[dict]:
+    return corpus(_CORPUS_N)
+
+
+def _demo_docs() -> list[dict]:
+    return [demo_doc(f"dm-{i}") for i in range(_DEMO_N)]
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+def q_redact_corpus_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full redaction pipeline over the fixture corpus; per-doc mask and
+    span counts (SSN rule)."""
+    df = docs_to_df(spark, _corpus_docs())
+    out, _ = redact(df, [SSN_RULE])
+    return out.select(
+        "doc_id",
+        F.size(F.filter("spans", lambda s: s.kind == F.lit("mask")))
+        .cast("long")
+        .alias("n_masks"),
+        F.size("spans").cast("long").alias("n_spans"),
+    )
+
+
+def q_locate_demo_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locate-only plan output (multi-pattern rule set) over demo docs."""
+    df = docs_to_df(spark, _demo_docs())
+    return locate_regions(df, MULTI_RULES).select(
+        "doc_id",
+        F.col("page").cast("long").alias("page"),
+        "matched_text",
+        "rule_pattern",
+        "x",
+        "y",
+        "width",
+        "height",
+    )
+
+
+def q_flatten_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten mode over the fixture corpus: per-doc media/page counts."""
+    df = docs_to_df(spark, corpus(16))
+    out, _ = redact(df, [SSN_RULE], flatten=True)
+    return out.select(
+        "doc_id",
+        F.size(F.filter("spans", lambda s: s.kind == F.lit("media")))
+        .cast("long")
+        .alias("n_media"),
+        F.size(F.filter("spans", lambda s: s.kind == F.lit("page")))
+        .cast("long")
+        .alias("n_pages"),
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: media spans -> payload fetch -> (stubbed)
+    decode via mapInPandas."""
+    df = docs_to_df(spark, corpus(16))
+    return media_metadata(df).select(
+        "doc_id",
+        "media_ref",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel-computed VALUES oracles
+# ---------------------------------------------------------------------------
+def _sql_str(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def _values_sql(rows: list[tuple], columns: list[str]) -> str:
+    if not rows:
+        cols = ", ".join(f"NULL AS {c}" for c in columns)
+        return f"SELECT {cols} WHERE 1 = 0"
+    vals = ", ".join("(" + ", ".join(_sql_str(v) for v in r) + ")" for r in rows)
+    collist = ", ".join(columns)
+    return f"SELECT * FROM (VALUES {vals}) AS t({collist})"
+
+
+def oracle_redact_corpus_masks() -> str:
+    rows = []
+    for d in _corpus_docs():
+        out, _, _ = redact_document(d["doc_id"], d["spans"], [SSN_RULE])
+        n_masks = sum(1 for s in out if s["kind"] == "mask")
+        rows.append((d["doc_id"], n_masks, len(out)))
+    return _values_sql(rows, ["doc_id", "n_masks", "n_spans"])
+
+
+def oracle_locate_demo_regions() -> str:
+    rows = []
+    for d in _demo_docs():
+        for r in locate_document(d["doc_id"], d["spans"], MULTI_RULES):
+            rows.append(
+                (d["doc_id"], r.page, r.matched_text, r.rule_pattern,
+                 r.x, r.y, r.width, r.height)
+            )
+    return _values_sql(
+        rows,
+        ["doc_id", "page", "matched_text", "rule_pattern", "x", "y", "width", "height"],
+    )
+
+
+def oracle_flatten_corpus() -> str:
+    rows = []
+    for d in corpus(16):
+        out, _, _ = redact_document(d["doc_id"], d["spans"], [SSN_RULE], flatten=True)
+        n_media = sum(1 for s in out if s["kind"] == "media")
+        n_pages = sum(1 for s in out if s["kind"] == "page")
+        rows.append((d["doc_id"], n_media, n_pages))
+    return _values_sql(rows, ["doc_id", "n_media", "n_pages"])
+
+
+def oracle_media_frame_sample() -> str:
+    rows = []
+    for d in corpus(16):
+        for s in d["spans"]:
+            if s["kind"] == "media":
+                payload = fetch_media_bytes(s["media_ref"])
+                m = decode_media(payload)
+                rows.append(
+                    (d["doc_id"], s["media_ref"], len(payload),
+                     m["n_frames"], m["width"], m["height"])
+                )
+    return _values_sql(
+        rows, ["doc_id", "media_ref", "n_bytes", "n_frames", "width", "height"]
+    )
+
+
+PIPELINE_QUERIES = {
+    "redact_corpus_masks": q_redact_corpus_masks,
+    "locate_demo_regions": q_locate_demo_regions,
+    "flatten_corpus": q_flatten_corpus,
+    "media_frame_sample": q_media_frame_sample,
+}
+
+PIPELINE_ORACLES = {
+    "redact_corpus_masks": oracle_redact_corpus_masks,
+    "locate_demo_regions": oracle_locate_demo_regions,
+    "flatten_corpus": oracle_flatten_corpus,
+    "media_frame_sample": oracle_media_frame_sample,
+}
