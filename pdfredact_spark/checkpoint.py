@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdfredact_spark.model import Rule
-from pdfredact_spark.pipeline import redact_with_hits
+from pdfredact_spark.pipeline import redact_full
 
 
 class KillSwitch(Exception):
@@ -93,10 +93,21 @@ def run_resumable(
         lo = batch_id * buckets_per_batch
         hi = min(lo + buckets_per_batch, n_buckets)
         batch = docs.filter((F.col("bucket") >= lo) & (F.col("bucket") < lo + buckets_per_batch))
-        out, errs = redact_with_hits(batch.select("doc_id", "spans"), rules, flatten)
-        out = out.withColumn(
+        # Materialize the single-pass result ONCE; good/error views are then
+        # derived from the written files (no recompute of the Python stage).
+        full = redact_full(batch.select("doc_id", "spans"), rules, flatten)
+        full = full.withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
         )
+        raw_path = os.path.join(out_dir, "raw", f"batch={batch_id}")
+        full.write.mode("overwrite").parquet(raw_path)
+        full = spark.read.parquet(raw_path)
+
+        out = full.where(F.col("error").isNull()).select(
+            "doc_id", "spans", "n_rule_hits",
+            F.size("spans").cast("long").alias("n_spans"), "bucket",
+        )
+        errs = full.where(F.col("error").isNotNull()).select("doc_id", "error")
 
         data_path = os.path.join(out_dir, "data", f"batch={batch_id}")
         out.select("doc_id", "spans", "bucket").write.mode("overwrite").parquet(data_path)

@@ -278,20 +278,22 @@ _DIGIT_PERMS = [
 ]
 
 
-def corpus_doc(i: int) -> dict:
+def corpus_doc(i: int, lines_mult: int = 1) -> dict:
     """Doc i = fx-09 content with digits permuted by i mod 7, plus one
-    interleaved media span; doc_id = d{i:09d}."""
+    interleaved media span; doc_id = d{i:09d}. ``lines_mult`` repeats the
+    line set on successive rows (heavier, more realistic page fill —
+    real PDFs carry far more than 7 lines)."""
     doc_id = f"d{i:09d}"
     perm = _DIGIT_PERMS[i % 7]
+    p1 = [t.translate(perm) for t in PAGE1_LINES] * lines_mult
+    p2 = [t.translate(perm) for t in PAGE2_LINES] * lines_mult
     spans = [page_span(1)]
-    spans += [
-        text_span(1, r, DEMO_X, t.translate(perm)) for r, t in enumerate(PAGE1_LINES)
-    ]
-    spans.append(_span("media", "", f"img:{doc_id}:1", encode_offset(1, 10, 0.0)))
+    spans += [text_span(1, r, DEMO_X, t) for r, t in enumerate(p1)]
+    spans.append(
+        _span("media", "", f"img:{doc_id}:1", encode_offset(1, len(p1) + 1, 0.0))
+    )
     spans.append(page_span(2))
-    spans += [
-        text_span(2, r, DEMO_X, t.translate(perm)) for r, t in enumerate(PAGE2_LINES)
-    ]
+    spans += [text_span(2, r, DEMO_X, t) for r, t in enumerate(p2)]
     return {"doc_id": doc_id, "spans": spans}
 
 
@@ -319,7 +321,7 @@ def mega_doc(doc_id: str, n_spans: int = 20_000) -> dict:
     return {"doc_id": doc_id, "spans": spans}
 
 
-def corpus(n_docs: int, mega_every: int = 0) -> "list[dict]":
+def corpus(n_docs: int, mega_every: int = 0, lines_mult: int = 1) -> "list[dict]":
     """Deterministic scale corpus; when mega_every>0 every k-th doc is a
     mega-doc skew probe."""
     docs = []
@@ -327,5 +329,5 @@ def corpus(n_docs: int, mega_every: int = 0) -> "list[dict]":
         if mega_every and i > 0 and i % mega_every == 0:
             docs.append(mega_doc(f"d{i:09d}"))
         else:
-            docs.append(corpus_doc(i))
+            docs.append(corpus_doc(i, lines_mult))
     return docs

@@ -1,26 +1,37 @@
 """The distributed redaction pipeline (SURVEY.md §3.4 lifecycle).
 
-Stage plan (2 shuffles, 1 vectorized Python stage, zero per-row Python):
+Plan shape, arrived at by measurement (see BENCH/BASELINE.md):
 
-    read (doc_id, spans)
-      -> explode spans, derive page band = offset div 200M        [narrow]
-      -> groupBy(doc_id, band) collect_list                       [SHUFFLE 1]
-         - the PAGE is the parallel unit: reference semantics are
-           strictly per-page (PdfPigTextLocator.cs:45-49 processes pages
-           independently), so a mega-document's pages fan out across the
-           cluster instead of pinning one task — this is the skew defusal
-           the north rule asks for. The int32 offset encoding bounds a
-           page at 2000 rows, bounding per-group memory.
-      -> pandas_udf _redact_pages: one Arrow batch = MANY pages; the
-         kernel runs per page inside the batch (no per-group Python
-         call overhead, no row-at-a-time Python)                  [narrow]
-      -> doc-level error routing (rotation fail-fast parity): any page
-         error drops the whole doc to the error output            [left_anti]
-      -> groupBy(doc_id) flatten+array_sort                       [SHUFFLE 2]
-         offset-keyed window reassembly of the span sequence.
+DEFAULT (zero-shuffle): every input row is already a complete document, so
+the fused locate+apply runs as
 
-Catalyst/AQE give shuffle coalescing and partial aggregation for free; the
-collect_list aggregation map-side-combines per page before shuffling.
+    parquet scan -> mapInPandas doc-batch redactor -> sink
+
+one narrow, fully pipelined stage: no shuffle, no reassembly (the kernel
+emits finished offset-sorted span sequences per doc), no per-group Python
+call overhead (one call per Arrow batch of docs). Parallelism comes from
+input splits — keep the table written with enough files/row-groups
+(corpus generation uses 128 partitions). A mega document runs inside one
+task (pages loop in the kernel); the int32 offset encoding bounds a doc
+at ~100k spans, bounding the straggler.
+
+MEGA-SPLIT option (``mega_split=True``) for corpora with pathological
+giants: oversized docs explode to flat spans and fan out per PAGE (offset
+band) — reference semantics are strictly per-page
+(PdfPigTextLocator.cs:45-49), so pages are independent — then reassemble
+per doc with a JVM-side collect_list + array_sort. Costs a second scan of
+the input plus two shuffles for the mega slice, so it is opt-in.
+
+Error routing (rotation fail-fast parity, PdfSharpMaskApplicator.cs:95-102)
+is carried as an ``error`` column computed in the same pass — callers split
+good/error rows with a filter instead of an anti-join, so the expensive
+Python stage is never computed twice. Callers that consume BOTH outputs
+should materialize ``redact_full`` once (checkpoint.run_resumable writes it
+to the output table and derives both views from the files).
+
+Zero row-at-a-time Python anywhere; rules are per-job config closed over
+by the UDF (the docs x rules cartesian with the tiny side broadcast,
+SURVEY.md J1).
 """
 
 from __future__ import annotations
@@ -31,19 +42,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
 )
 
 from pdfredact_spark.kernel import RotationError, locate_document, redact_document
-from pdfredact_spark.model import DOC_SCHEMA, PAGE_BASE, REGION_SCHEMA, SPAN_STRUCT, Rule
+from pdfredact_spark.model import (
+    DOC_SCHEMA,
+    PAGE_BASE,
+    REGION_SCHEMA,
+    SPAN_STRUCT,
+    Rule,
+)
 
-_REDACT_RESULT = StructType(
+#: docs with more spans than this take the page-parallel mega path
+MEGA_SPAN_THRESHOLD = 4096
+
+REDACTED_SCHEMA = StructType(
     [
+        StructField("doc_id", StringType(), False),
         StructField("spans", ArrayType(SPAN_STRUCT, False), True),
-        StructField("n_hits", IntegerType(), False),
+        StructField("n_rule_hits", LongType(), False),
         StructField("error", StringType(), True),
+    ]
+)
+
+_FLAT_PAGE_OUT = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("text", StringType(), False),
+        StructField("media_ref", StringType(), False),
+        StructField("offset", IntegerType(), False),
+        StructField("n_hits", IntegerType(), False),
     ]
 )
 
@@ -54,79 +87,78 @@ def docs_to_df(spark: SparkSession, docs: list[dict]) -> DataFrame:
     return spark.createDataFrame(docs, schema=DOC_SCHEMA)
 
 
-def _page_groups(df: DataFrame) -> DataFrame:
-    """Explode to flat spans and regroup per (doc_id, page band)."""
-    return (
-        df.select("doc_id", F.explode("spans").alias("s"))
-        .select("doc_id", F.expr(f"s.offset div {PAGE_BASE}").alias("band"), "s")
-        .groupBy("doc_id", "band")
-        .agg(F.collect_list("s").alias("page_spans"))
-    )
+def _num_partitions(df: DataFrame, requested: int | None) -> int:
+    if requested:
+        return requested
+    return df.sparkSession.sparkContext.defaultParallelism * 4
 
 
-def _make_redact_udf(rules: list[Rule], flatten: bool):
-    """Vectorized page-batch redactor. Rules are closed over (tiny per-job
-    config — the reference's docs x rules cartesian with the rule side
-    broadcast, SURVEY.md J1)."""
+def _make_doc_map(rules: list[Rule], flatten: bool):
+    """Doc-batch redactor: one Python call per Arrow batch of complete
+    documents; kernel output is already per-doc sorted."""
 
-    def fn(doc_ids: "pd.Series", pages: "pd.Series") -> "pd.DataFrame":
-        spans_out, hits_out, err_out = [], [], []
-        for doc_id, page_spans in zip(doc_ids, pages):
-            spans = list(page_spans)
-            try:
-                out, _, hits = redact_document(doc_id, spans, rules, flatten=flatten)
-                spans_out.append(out)
-                hits_out.append(hits)
-                err_out.append(None)
-            except RotationError as e:
-                spans_out.append(None)
-                hits_out.append(0)
-                err_out.append(str(e))
-        return pd.DataFrame({"spans": spans_out, "n_hits": hits_out, "error": err_out})
+    def fn(batches):
+        for pdf in batches:
+            doc_ids, spans_out, hits, errs = [], [], [], []
+            for d, sp in zip(pdf["doc_id"], pdf["spans"]):
+                try:
+                    out, _, h = redact_document(d, list(sp), rules, flatten=flatten)
+                    spans_out.append(out)
+                    hits.append(h)
+                    errs.append(None)
+                except RotationError as e:
+                    spans_out.append(None)
+                    hits.append(0)
+                    errs.append(str(e))
+                doc_ids.append(d)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "spans": spans_out,
+                    "n_rule_hits": hits,
+                    "error": errs,
+                }
+            )
 
-    from pyspark.sql.functions import pandas_udf
-
-    return pandas_udf(fn, returnType=_REDACT_RESULT)
+    return fn
 
 
-def redact(
-    df: DataFrame, rules: list[Rule], flatten: bool = False
-) -> tuple[DataFrame, DataFrame]:
-    """Fused locate+apply over a (doc_id, spans) DataFrame.
+def _make_page_apply(rules: list[Rule], flatten: bool):
+    """Page-grain redactor for mega docs (applyInPandas per (doc, band))."""
 
-    Returns (redacted_docs, errors):
-      redacted_docs — same schema as the input, span sequences re-assembled
-                      in offset order (the BASELINE.json invariant order);
-      errors        — (doc_id, error) for documents hitting the rotation
-                      fail-fast (reference NotSupportedException parity:
-                      the whole document is routed out, none of it is
-                      emitted to the main output).
-
-    Empty rule set without flatten -> identity (PdfPigTextLocator.cs:37-41 /
-    ApplyCommand.cs:65-69 pass-through), short-circuited on the driver so
-    Catalyst sees a no-op plan.
-    """
-    spark = df.sparkSession
-    if not rules and not flatten:
-        empty = spark.createDataFrame(
-            [],
-            schema=StructType(
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = key[0]
+        spans = pdf[["kind", "text", "media_ref", "offset"]].to_dict("records")
+        try:
+            out, _, h = redact_document(doc_id, spans, rules, flatten=flatten)
+        except RotationError as e:
+            return pd.DataFrame(
                 [
-                    StructField("doc_id", StringType(), False),
-                    StructField("error", StringType(), False),
+                    {
+                        "doc_id": doc_id,
+                        "kind": "__error__",
+                        "text": str(e),
+                        "media_ref": "",
+                        "offset": 0,
+                        "n_hits": 0,
+                    }
                 ]
-            ),
+            )
+        res = pd.DataFrame(out) if out else pd.DataFrame(
+            columns=["kind", "text", "media_ref", "offset"]
         )
-        return df, empty
+        res["doc_id"] = doc_id
+        res["n_hits"] = 0
+        if len(res):
+            res.loc[res.index[0], "n_hits"] = h
+        return res[["doc_id", "kind", "text", "media_ref", "offset", "n_hits"]]
 
-    out, errors = redact_with_hits(df, rules, flatten)
-    return out.select("doc_id", "spans"), errors
+    return fn
 
 
 def _span_order(a, b):
-    """Deterministic reassembly order: offset asc, then kind/media_ref/text —
-    ties between coincident spans (e.g. two rules masking at one glyph)
-    resolve identically on every run/retry."""
+    """Deterministic reassembly order: offset asc then kind/media_ref/text —
+    ties between coincident spans resolve identically on every run/retry."""
     return (
         F.when(a.offset < b.offset, -1)
         .when(a.offset > b.offset, 1)
@@ -140,68 +172,150 @@ def _span_order(a, b):
     )
 
 
-def redact_with_hits(df: DataFrame, rules: list[Rule], flatten: bool = False):
-    """Like redact() but the output also carries per-doc metrics columns
-    (n_rule_hits, n_spans) for the lineage table."""
-    redact_udf = _make_redact_udf(rules, flatten)
-    pages = _page_groups(df)
-    done = pages.select("doc_id", redact_udf("doc_id", "page_spans").alias("r"))
-    errors = (
-        done.filter(F.col("r.error").isNotNull())
-        .select("doc_id", F.col("r.error").alias("error"))
-        .distinct()
+def redact_full(
+    df: DataFrame,
+    rules: list[Rule],
+    flatten: bool = False,
+    num_partitions: int | None = None,
+    mega_split: bool = False,
+) -> DataFrame:
+    """Single-pass fused locate+apply (RedactCommand.cs:126-225 lifecycle).
+
+    Returns (doc_id, spans, n_rule_hits, error): error is null for clean
+    docs; errored docs (rotation fail-fast) carry spans=null. Empty rule
+    set without flatten -> identity with zero hits (PdfPigTextLocator.cs:
+    37-41 / ApplyCommand.cs:65-69 pass-through)."""
+    if not rules and not flatten:
+        return df.select(
+            "doc_id",
+            "spans",
+            F.lit(0).cast("long").alias("n_rule_hits"),
+            F.lit(None).cast("string").alias("error"),
+        )
+
+    doc_map = _make_doc_map(rules, flatten)
+    if not mega_split:
+        if num_partitions:
+            df = df.repartition(num_partitions)
+        return df.mapInPandas(doc_map, schema=REDACTED_SCHEMA)
+
+    P = _num_partitions(df, num_partitions)
+    is_mega = F.size("spans") > MEGA_SPAN_THRESHOLD
+
+    small_out = (
+        df.where(~is_mega)
+        .repartition(P, "doc_id")
+        .mapInPandas(doc_map, schema=REDACTED_SCHEMA)
     )
-    good = done.join(errors.select("doc_id"), "doc_id", "left_anti")
-    out = good.groupBy("doc_id").agg(
-        F.array_sort(F.flatten(F.collect_list("r.spans")), _span_order).alias("spans"),
-        F.sum("r.n_hits").cast("long").alias("n_rule_hits"),
-        F.sum(F.size("r.spans")).cast("long").alias("n_spans"),
+
+    # Mega path: explode -> per-page fan-out -> JVM reassembly.
+    big = df.where(is_mega)
+    flat = big.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.expr(f"s.offset div {PAGE_BASE}").alias("band"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
     )
-    return out, errors
+    page_out = flat.groupBy("doc_id", "band").applyInPandas(
+        _make_page_apply(rules, flatten), schema=_FLAT_PAGE_OUT
+    )
+    err_col = F.max(F.when(F.col("kind") == "__error__", F.col("text"))).alias("error")
+    big_out = (
+        page_out.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("kind") != "__error__",
+                        F.struct("kind", "text", "media_ref", "offset"),
+                    )
+                ),
+                _span_order,
+            ).alias("spans"),
+            F.sum("n_hits").cast("long").alias("n_rule_hits"),
+            err_col,
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("error").isNull(), F.col("spans")).alias("spans"),
+            "n_rule_hits",
+            "error",
+        )
+    )
+    return small_out.unionByName(big_out)
 
 
-def locate_regions(df: DataFrame, rules: list[Rule]) -> DataFrame:
+def redact(
+    df: DataFrame, rules: list[Rule], flatten: bool = False,
+    num_partitions: int | None = None, mega_split: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (redacted_docs, errors). Both derive from one single-pass
+    plan; consuming BOTH triggers recompute — materialize redact_full()
+    first if you need both (checkpoint.run_resumable does)."""
+    if not rules and not flatten:
+        spark = df.sparkSession
+        empty = spark.createDataFrame(
+            [],
+            schema=StructType(
+                [
+                    StructField("doc_id", StringType(), False),
+                    StructField("error", StringType(), False),
+                ]
+            ),
+        )
+        return df, empty
+    full = redact_full(df, rules, flatten, num_partitions, mega_split)
+    good = full.where(F.col("error").isNull()).select("doc_id", "spans")
+    errors = full.where(F.col("error").isNotNull()).select("doc_id", "error")
+    return good, errors
+
+
+def redact_with_hits(
+    df: DataFrame, rules: list[Rule], flatten: bool = False,
+    num_partitions: int | None = None, mega_split: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Like redact() but the main output keeps (n_rule_hits, n_spans)."""
+    full = redact_full(df, rules, flatten, num_partitions, mega_split)
+    good = full.where(F.col("error").isNull()).select(
+        "doc_id", "spans", "n_rule_hits", F.size("spans").cast("long").alias("n_spans")
+    )
+    errors = full.where(F.col("error").isNotNull()).select("doc_id", "error")
+    return good, errors
+
+
+def locate_regions(
+    df: DataFrame, rules: list[Rule], num_partitions: int | None = None
+) -> DataFrame:
     """Locate-only (the reference `plan` command, PlanCommand.cs:163-169):
-    emits RedactionRegion rows (doc_id, page, x, y, width, height,
-    matched_text, rule_pattern, page_rotation)."""
+    emits RedactionRegion rows. Doc-grain (mega docs run whole — locate
+    emits small region lists, so page fan-out buys little here)."""
     spark = df.sparkSession
     if not rules:
         return spark.createDataFrame([], schema=REGION_SCHEMA)
 
-    def fn(doc_ids: "pd.Series", pages: "pd.Series") -> "pd.Series":
-        out = []
-        for doc_id, page_spans in zip(doc_ids, pages):
-            spans = list(page_spans)
-            regions = locate_document(doc_id, spans, rules)
-            out.append(
-                [
-                    {
-                        "page": r.page,
-                        "x": r.x,
-                        "y": r.y,
-                        "width": r.width,
-                        "height": r.height,
-                        "matched_text": r.matched_text,
-                        "rule_pattern": r.rule_pattern,
-                        "page_rotation": r.rotation,
-                    }
-                    for r in regions
-                ]
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for d, sp in zip(pdf["doc_id"], pdf["spans"]):
+                for r in locate_document(d, list(sp), rules):
+                    rows.append(
+                        (d, r.page, r.x, r.y, r.width, r.height,
+                         r.matched_text, r.rule_pattern, r.rotation)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "page", "x", "y", "width", "height",
+                         "matched_text", "rule_pattern", "page_rotation"],
             )
-        return pd.Series(out)
 
-    from pyspark.sql.functions import pandas_udf
-
-    locate_udf = pandas_udf(fn, returnType=ArrayType(_REGION_STRUCT))
-    pages = _page_groups(df)
-    return (
-        pages.select("doc_id", F.explode(locate_udf("doc_id", "page_spans")).alias("r"))
-        .select("doc_id", "r.*")
-    )
+    P = _num_partitions(df, num_partitions)
+    return df.repartition(P, "doc_id").mapInPandas(fn, schema=REGION_SCHEMA)
 
 
 def region_summary(regions: DataFrame) -> DataFrame:
-    """Per-page redaction counts (PlanCommand.cs:178-183 console summary)."""
+    """Per-page redaction counts (PlanCommand.cs:178-183 console sink)."""
     return (
         regions.groupBy("doc_id", "page")
         .agg(F.count("*").alias("n_redactions"))

@@ -123,14 +123,19 @@ def test_corpus_matches_kernel_and_metrics(spark):
 
 
 def test_mega_doc_through_spark(spark):
-    """Skew probe: the mega doc's pages fan out; output equals the kernel."""
+    """Skew probe: both the default (inline) and the page-fan-out
+    (mega_split) paths produce exactly the kernel's span sequences."""
     docs = [mega_doc("mega-1", n_spans=12_000), demo_doc("small-1")]
     df = docs_to_df(spark, docs)
-    out, _ = redact(df, [SSN_RULE])
-    got = invariant_rows(out)
+    expected = {}
     for d in docs:
         exp, _, _ = redact_document(d["doc_id"], d["spans"], [SSN_RULE])
-        assert got[d["doc_id"]] == [(s["kind"], s["text"], s["media_ref"]) for s in exp]
+        expected[d["doc_id"]] = [(s["kind"], s["text"], s["media_ref"]) for s in exp]
+
+    for mega_split in (False, True):
+        out, _ = redact(df, [SSN_RULE], mega_split=mega_split)
+        got = invariant_rows(out)
+        assert got == expected, f"mega_split={mega_split}"
     # the mega doc's work really was split across >1 page group
     n_bands = (
         df.select("doc_id", F.explode("spans").alias("s"))
