@@ -39,6 +39,8 @@ from pdfredact_spark.model import (
     MIN_GAP,
     PAGE_BASE,
     ROW_BASE,
+    ROW_PITCH,
+    TOP_MARGIN,
     WORD_GAP_MULT,
     WORD_H_MULT,
     Rule,
@@ -476,13 +478,41 @@ def redact_document(
     if not regions and not flatten:
         return list(spans), [], 0
 
+    out = _apply_regions(doc_id, spans, regions)
+
+    if flatten:
+        # FLATTEN_MODE.md:4-11 / north_star flatten events: each page's
+        # content collapses to one image-only media span; page markers stay.
+        flat: list[dict] = []
+        for page in pages:
+            if page.marker_idx is not None:
+                flat.append(spans[page.marker_idx])
+            band = max(page.number, 1)
+            flat.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": f"flat:{doc_id}:{page.number}",
+                    "offset": int(band * PAGE_BASE + 1),
+                }
+            )
+        out = flat
+
+    out.sort(key=lambda s: (s["offset"], s["kind"], s["media_ref"], s["text"]))
+    return out, regions, len(regions)
+
+
+def _apply_regions(doc_id: str, spans: list[dict], regions: list[Region]) -> list[dict]:
+    """Mask application core (PdfSharpMaskApplicator.cs:48-126 in span
+    space): rotation fail-fast, deterministic W6 apply order (page asc,
+    Y desc, X asc) -> mask sequence ids, covered-glyph removal + span
+    splicing."""
     for r in regions:
         if r.rotation != 0:
             raise RotationError(
                 f"Page rotation ({r.rotation}°) is not currently supported."
             )
 
-    # Deterministic apply order (W6): group by page asc, order Y desc, X asc.
     by_page: dict[int, list[Region]] = {}
     for r in regions:
         by_page.setdefault(r.page, []).append(r)
@@ -498,6 +528,13 @@ def redact_document(
                 off = spans[si]["offset"] + GLYPH_STRIDE * ci
                 if min_off is None or off < min_off:
                     min_off = off
+            if min_off is None:
+                # Region covering no glyphs (possible via decoupled apply):
+                # the reference still draws the rect — emit the mask at its
+                # geometric position.
+                band = max(page_num, 1)
+                row = max(0, round((DEFAULT_PAGE_H - TOP_MARGIN - (r.y + r.height)) / ROW_PITCH))
+                min_off = band * PAGE_BASE + row * ROW_BASE + int(round(DECI * r.x))
             mask_spans.append(
                 {
                     "kind": "mask",
@@ -541,24 +578,57 @@ def redact_document(
                 }
             )
     out.extend(mask_spans)
+    return out
 
-    if flatten:
-        # FLATTEN_MODE.md:4-11 / north_star flatten events: each page's
-        # content collapses to one image-only media span; page markers stay.
-        flat: list[dict] = []
-        for page in pages:
-            if page.marker_idx is not None:
-                flat.append(spans[page.marker_idx])
-            band = max(page.number, 1)
-            flat.append(
-                {
-                    "kind": "media",
-                    "text": "",
-                    "media_ref": f"flat:{doc_id}:{page.number}",
-                    "offset": int(band * PAGE_BASE + 1),
-                }
+
+def apply_plan(
+    doc_id: str, spans: list[dict], regions: list[Region]
+) -> tuple[list[dict], int]:
+    """Decoupled mask application from a saved plan (the reference `apply`
+    command, ApplyCommand.cs:58-73 -> PdfSharpMaskApplicator.cs:20-82).
+
+    Covered glyphs are recovered GEOMETRICALLY: a glyph belongs to a region
+    iff its box intersects the region rectangle (half-open, so regions
+    never leak onto touching neighbours). The reference's ±1pt MaskPadding
+    (PdfSharpMaskApplicator.cs:17) is presentation-only — it inflates the
+    drawn rect, not which text is redacted — so coverage uses the unpadded
+    rect; use mask_geometry (queries) for the padded/clamped/Y-flipped
+    draw rectangle.
+
+    Out-of-range pages are silently skipped (P5,
+    PdfSharpMaskApplicator.cs:57-60); zero regions -> verbatim copy
+    (ApplyCommand.cs:65-69). Returns (output spans, n_regions_applied).
+    """
+    if not regions:
+        return sorted(
+            spans, key=lambda s: (s["offset"], s["kind"], s["media_ref"], s["text"])
+        ), 0
+
+    pages = {p.number: p for p in split_pages(spans)}
+    applied: list[Region] = []
+    for r in regions:
+        page = pages.get(r.page)
+        if page is None:
+            continue  # P5: silently skip out-of-range pages
+        chars = []
+        for ch, left, right, bottom, top, si, ci in extract_letters(
+            spans, page.text_idx, page.height
+        ):
+            if (
+                right > r.x
+                and left < r.x + r.width
+                and top > r.y
+                and bottom < r.y + r.height
+            ):
+                chars.append((si, ci))
+        applied.append(
+            Region(
+                page=r.page, x=r.x, y=r.y, width=r.width, height=r.height,
+                matched_text=r.matched_text, rule_pattern=r.rule_pattern,
+                rotation=r.rotation, chars=chars,
             )
-        out = flat
+        )
 
+    out = _apply_regions(doc_id, spans, applied)
     out.sort(key=lambda s: (s["offset"], s["kind"], s["media_ref"], s["text"]))
-    return out, regions, len(regions)
+    return out, len(applied)

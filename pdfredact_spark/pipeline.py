@@ -321,3 +321,112 @@ def region_summary(regions: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_redactions"))
         .orderBy("doc_id", "page")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decoupled plan/apply (the reference `plan` + `apply` commands:
+# PlanCommand.cs / ApplyCommand.cs + RedactionPlanSerializer.cs)
+# ---------------------------------------------------------------------------
+from pyspark.sql.types import DoubleType  # noqa: E402
+
+_PLAN_REGION_STRUCT = StructType(
+    [
+        StructField("pageNumber", IntegerType(), False),
+        StructField("x", DoubleType(), False),
+        StructField("y", DoubleType(), False),
+        StructField("width", DoubleType(), False),
+        StructField("height", DoubleType(), False),
+        StructField("matchedText", StringType(), True),
+        StructField("rulePattern", StringType(), True),
+        StructField("pageRotation", IntegerType(), False),
+    ]
+)
+
+#: one plan per document (camelCase fields, serializer parity —
+#: RedactionPlanSerializer.cs:31-35; sourcePdfPath slot carries doc_id)
+PLAN_SCHEMA = StructType(
+    [
+        StructField("sourcePdfPath", StringType(), False),
+        StructField("regions", ArrayType(_PLAN_REGION_STRUCT), False),
+        StructField("totalRedactions", IntegerType(), False),
+    ]
+)
+
+
+def regions_to_plans(regions: DataFrame) -> DataFrame:
+    """Region rows -> per-doc plan rows in the serializer's camelCase
+    shape (S5). Write with ``df.write.json(path)``."""
+    return regions.groupBy(F.col("doc_id").alias("sourcePdfPath")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("page").alias("pageNumber"),
+                "x",
+                "y",
+                "width",
+                "height",
+                F.col("matched_text").alias("matchedText"),
+                F.col("rule_pattern").alias("rulePattern"),
+                F.col("page_rotation").alias("pageRotation"),
+            )
+        ).alias("regions"),
+        F.count("*").cast("int").alias("totalRedactions"),
+    )
+
+
+def read_plans(spark: SparkSession, path: str) -> DataFrame:
+    """Plan JSON source (S4): explicit schema, never inferred."""
+    return spark.read.schema(PLAN_SCHEMA).json(path)
+
+
+def apply_plans(docs: DataFrame, plans: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Decoupled apply: join saved plans to documents on doc_id and mask
+    geometrically (kernel.apply_plan). Docs without a plan copy through
+    verbatim (S7 pass-through). Plans are per-doc small — AQE broadcasts
+    the side that qualifies."""
+    from pdfredact_spark.kernel import Region as KRegion
+    from pdfredact_spark.kernel import apply_plan as k_apply
+
+    joined = docs.join(
+        plans.select(
+            F.col("sourcePdfPath").alias("doc_id"), F.col("regions").alias("plan_regions")
+        ),
+        "doc_id",
+        "left",
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            doc_ids, spans_out, hits, errs = [], [], [], []
+            for d, sp, regs in zip(pdf["doc_id"], pdf["spans"], pdf["plan_regions"]):
+                regions = [
+                    KRegion(
+                        page=r["pageNumber"], x=r["x"], y=r["y"],
+                        width=r["width"], height=r["height"],
+                        matched_text=r["matchedText"], rule_pattern=r["rulePattern"],
+                        rotation=r["pageRotation"],
+                    )
+                    for r in (regs if regs is not None else [])
+                ]
+                try:
+                    out, n = k_apply(d, list(sp), regions)
+                    spans_out.append(out)
+                    hits.append(n)
+                    errs.append(None)
+                except RotationError as e:
+                    spans_out.append(None)
+                    hits.append(0)
+                    errs.append(str(e))
+                doc_ids.append(d)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "spans": spans_out,
+                    "n_rule_hits": hits,
+                    "error": errs,
+                }
+            )
+
+    full = joined.mapInPandas(fn, schema=REDACTED_SCHEMA)
+    good = full.where(F.col("error").isNull()).select("doc_id", "spans")
+    errors = full.where(F.col("error").isNotNull()).select("doc_id", "error")
+    return good, errors

@@ -1,0 +1,83 @@
+"""Decoupled plan/apply path through Spark: locate -> plan JSON round-trip
+-> geometric apply must equal the fused redact output (ApplyCommand parity),
+including pass-through for docs without plans (S7) and out-of-range page
+skipping (P5).
+"""
+
+from __future__ import annotations
+
+from pdfredact_spark.fixtures import MULTI_RULES, SSN_RULE, corpus, demo_doc
+from pdfredact_spark.pipeline import (
+    apply_plans,
+    docs_to_df,
+    locate_regions,
+    read_plans,
+    redact,
+    regions_to_plans,
+)
+
+
+def invariant_rows(df):
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in df.collect()
+    }
+
+
+def test_plan_json_roundtrip_and_apply(spark, tmp_path):
+    docs = corpus(12) + [demo_doc("pa-demo")]
+    df = docs_to_df(spark, docs)
+    plan_dir = str(tmp_path / "plans")
+
+    regions = locate_regions(df, MULTI_RULES)
+    regions_to_plans(regions).write.mode("overwrite").json(plan_dir)
+
+    plans = read_plans(spark, plan_dir)
+    assert plans.count() == len(docs)  # every doc has >= 1 match here
+    row = plans.where("sourcePdfPath = 'pa-demo'").collect()[0]
+    assert row["totalRedactions"] == len(row["regions"]) == 4  # SSN+CC+email p1, SSN p2
+
+    applied, errs = apply_plans(df, plans)
+    assert errs.count() == 0
+    fused, _ = redact(df, MULTI_RULES)
+    assert invariant_rows(applied) == invariant_rows(fused)
+
+
+def test_apply_passthrough_without_plan(spark, tmp_path):
+    """Docs absent from the plan copy through verbatim (S7)."""
+    matched = demo_doc("with-plan")
+    unmatched = demo_doc("no-plan")
+    df = docs_to_df(spark, [matched, unmatched])
+    plan_dir = str(tmp_path / "plans")
+    regions = locate_regions(docs_to_df(spark, [matched]), [SSN_RULE])
+    regions_to_plans(regions).write.mode("overwrite").json(plan_dir)
+
+    applied, errs = apply_plans(df, read_plans(spark, plan_dir))
+    got = invariant_rows(applied)
+    assert errs.count() == 0
+    # unmatched doc identical to input
+    exp_unmatched = sorted(
+        unmatched["spans"],
+        key=lambda s: (s["offset"], s["kind"], s["media_ref"], s["text"]),
+    )
+    assert got["no-plan"] == [
+        (s["kind"], s["text"], s["media_ref"]) for s in exp_unmatched
+    ]
+    # matched doc has masks
+    assert any(k == "mask" for k, _, _ in got["with-plan"])
+
+
+def test_apply_rotation_failfast_from_plan(spark, tmp_path):
+    """A plan recorded against a rotated page fails at apply (P6) and the
+    doc routes to the error output."""
+    doc = demo_doc("rot-plan", rotation_page1=90)
+    df = docs_to_df(spark, [doc])
+    plan_dir = str(tmp_path / "plans")
+    regions = locate_regions(df, [SSN_RULE])  # locate succeeds, stores rotation
+    regions_to_plans(regions).write.mode("overwrite").json(plan_dir)
+
+    applied, errs = apply_plans(df, read_plans(spark, plan_dir))
+    err_rows = errs.collect()
+    assert [r["doc_id"] for r in err_rows] == ["rot-plan"]
+    assert "rotation" in err_rows[0]["error"].lower()
+    assert applied.count() == 0
