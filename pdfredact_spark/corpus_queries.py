@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 from pdfredact_spark.fixtures import MULTI_RULES, SSN_RULE, corpus, demo_doc
 from pdfredact_spark.kernel import locate_document, redact_document
 from pdfredact_spark.media import decode_media, fetch_media_bytes, media_metadata
-from pdfredact_spark.pipeline import docs_to_df, locate_regions, redact
+from pdfredact_spark.pipeline import (
+    docs_to_df,
+    locate_regions,
+    redact,
+    region_summary,
+)
 
 _CORPUS_N = 48
 _DEMO_N = 4
@@ -79,6 +84,40 @@ def q_flatten_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("spans", lambda s: s.kind == F.lit("page")))
         .cast("long")
         .alias("n_pages"),
+    )
+
+
+def q_mask_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/F8 mask-draw geometry (PdfSharpMaskApplicator.cs:107-125): pad
+    the region +-1pt, clamp at 0 and the page bounds, flip Y to top-left
+    origin — pure column arithmetic over located regions."""
+    from pdfredact_spark.model import DEFAULT_PAGE_H, DEFAULT_PAGE_W, MASK_PADDING
+
+    df = docs_to_df(spark, _demo_docs())
+    r = locate_regions(df, MULTI_RULES)
+    px = F.greatest(F.lit(0.0), F.col("x") - MASK_PADDING)
+    py = F.greatest(F.lit(0.0), F.col("y") - MASK_PADDING)
+    pw = F.least(F.col("width") + 2 * MASK_PADDING, F.lit(DEFAULT_PAGE_W) - px)
+    ph = F.least(F.col("height") + 2 * MASK_PADDING, F.lit(DEFAULT_PAGE_H) - py)
+    return r.select(
+        "doc_id",
+        F.col("page").cast("long").alias("page"),
+        "matched_text",
+        px.alias("mask_x"),
+        (F.lit(DEFAULT_PAGE_H) - py - ph).alias("mask_y_top"),
+        pw.alias("mask_w"),
+        ph.alias("mask_h"),
+    )
+
+
+def q_region_page_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page redaction counts (A7/S8 console summary,
+    PlanCommand.cs:178-183) over the demo docs."""
+    df = docs_to_df(spark, _demo_docs())
+    return region_summary(locate_regions(df, MULTI_RULES)).select(
+        "doc_id",
+        F.col("page").cast("long").alias("page"),
+        F.col("n_redactions").cast("long").alias("n_redactions"),
     )
 
 
@@ -151,6 +190,39 @@ def oracle_flatten_corpus() -> str:
     return _values_sql(rows, ["doc_id", "n_media", "n_pages"])
 
 
+def oracle_mask_geometry() -> str:
+    """VALUES of the RAW kernel regions + the P7/F8 arithmetic expressed in
+    SQL — the geometry transform itself is cross-checked, not just copied."""
+    from pdfredact_spark.model import DEFAULT_PAGE_H, DEFAULT_PAGE_W, MASK_PADDING
+
+    rows = []
+    for d in _demo_docs():
+        for r in locate_document(d["doc_id"], d["spans"], MULTI_RULES):
+            rows.append((d["doc_id"], r.page, r.matched_text, r.x, r.y, r.width, r.height))
+    raw = _values_sql(rows, ["doc_id", "page", "matched_text", "x", "y", "w", "h"])
+    pad, W, H = MASK_PADDING, DEFAULT_PAGE_W, DEFAULT_PAGE_H
+    return (
+        f"WITH raw AS ({raw}), p AS ("
+        f"SELECT doc_id, page, matched_text, "
+        f"GREATEST(0.0, x - {pad}) AS px, GREATEST(0.0, y - {pad}) AS py, "
+        f"w + {2 * pad} AS w2, h + {2 * pad} AS h2 FROM raw) "
+        f"SELECT doc_id, page::BIGINT AS page, matched_text, px AS mask_x, "
+        f"{H} - py - LEAST(h2, {H} - py) AS mask_y_top, "
+        f"LEAST(w2, {W} - px) AS mask_w, LEAST(h2, {H} - py) AS mask_h FROM p"
+    )
+
+
+def oracle_region_page_summary() -> str:
+    import collections
+
+    counts: collections.Counter = collections.Counter()
+    for d in _demo_docs():
+        for r in locate_document(d["doc_id"], d["spans"], MULTI_RULES):
+            counts[(d["doc_id"], r.page)] += 1
+    rows = [(k[0], k[1], v) for k, v in sorted(counts.items())]
+    return _values_sql(rows, ["doc_id", "page", "n_redactions"])
+
+
 def oracle_media_frame_sample() -> str:
     rows = []
     for d in corpus(16):
@@ -172,6 +244,8 @@ PIPELINE_QUERIES = {
     "locate_demo_regions": q_locate_demo_regions,
     "flatten_corpus": q_flatten_corpus,
     "media_frame_sample": q_media_frame_sample,
+    "mask_geometry": q_mask_geometry,
+    "region_page_summary": q_region_page_summary,
 }
 
 PIPELINE_ORACLES = {
@@ -179,4 +253,6 @@ PIPELINE_ORACLES = {
     "locate_demo_regions": oracle_locate_demo_regions,
     "flatten_corpus": oracle_flatten_corpus,
     "media_frame_sample": oracle_media_frame_sample,
+    "mask_geometry": oracle_mask_geometry,
+    "region_page_summary": oracle_region_page_summary,
 }
