@@ -1,0 +1,149 @@
+"""Property-based kernel invariants (hypothesis) + edge cases.
+
+Invariants that must hold for ANY document and rule set:
+- output spans sorted by offset, deterministic tie-break
+- mask count == located region count
+- uncovered text survives verbatim (no content invented or lost beyond
+  covered glyphs and cut-adjacent whitespace)
+- no-match rules are identity
+- redaction is deterministic (same input -> same output)
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdfredact_spark.fixtures import demo_doc, page_span, text_span
+from pdfredact_spark.kernel import locate_document, redact_document
+from pdfredact_spark.model import Rule
+
+WORDS = ["alpha", "beta", "gamma", "123-45-6789", "x9", "delta,", "42", "a-b"]
+
+
+@st.composite
+def documents(draw):
+    n_lines = draw(st.integers(1, 6))
+    spans = [page_span(1)]
+    for r in range(n_lines):
+        n_words = draw(st.integers(1, 8))
+        line = " ".join(draw(st.sampled_from(WORDS)) for _ in range(n_words))
+        spans.append(text_span(1, r, 72.0, line))
+    return {"doc_id": "prop-1", "spans": spans}
+
+
+@st.composite
+def rules(draw):
+    kind = draw(st.integers(0, 2))
+    if kind == 0:
+        return Rule(draw(st.sampled_from(WORDS)))
+    if kind == 1:
+        return Rule(r"\d{3}-\d{2}-\d{4}", is_regex=True)
+    return Rule(
+        draw(st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=4)),
+        case_sensitive=draw(st.booleans()),
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(doc=documents(), rs=st.lists(rules(), min_size=0, max_size=3))
+def test_redaction_invariants(doc, rs):
+    out, regions, hits = redact_document(doc["doc_id"], doc["spans"], rs)
+    out2, _, _ = redact_document(doc["doc_id"], doc["spans"], rs)
+    assert out == out2  # deterministic
+
+    offsets = [s["offset"] for s in out]
+    assert offsets == sorted(offsets)
+
+    masks = [s for s in out if s["kind"] == "mask"]
+    assert len(masks) == hits == len(regions)
+    assert len({m["media_ref"] for m in masks}) == len(masks)  # unique ids
+
+    # no content invented: every surviving text span is a substring of some
+    # original span's text
+    originals = [s["text"] for s in doc["spans"] if s["kind"] == "text"]
+    for s in out:
+        if s["kind"] == "text":
+            assert any(s["text"] in o for o in originals), s
+
+    if not regions:
+        assert [(s["kind"], s["text"], s["media_ref"]) for s in out] == [
+            (s["kind"], s["text"], s["media_ref"])
+            for s in sorted(doc["spans"], key=lambda x: (x["offset"], x["kind"], x["media_ref"], x["text"]))
+        ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(doc=documents())
+def test_locate_apply_equals_fused(doc):
+    from pdfredact_spark.kernel import apply_plan
+
+    rs = [Rule(r"\d{3}-\d{2}-\d{4}", is_regex=True), Rule("alpha")]
+    regions = locate_document(doc["doc_id"], doc["spans"], rs)
+    fused, _, _ = redact_document(doc["doc_id"], doc["spans"], rs)
+    applied, n = apply_plan(doc["doc_id"], doc["spans"], regions)
+    assert n == len(regions)
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in applied] == [
+        (s["kind"], s["text"], s["media_ref"]) for s in fused
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Edge cases
+# ---------------------------------------------------------------------------
+def test_unicode_nd_digits_fragment_router():
+    # Arabic-Indic digits are Unicode Nd -> numeric-literal auto-detect fires
+    assert Rule("١٢٣").use_fragment_mode() is True
+    # superscript two is category No, NOT Nd (char.IsDigit parity)
+    assert Rule("²²").use_fragment_mode() is False
+
+
+def test_overlapping_rules_interval_merge():
+    # two rules covering overlapping glyph ranges: both masks emitted,
+    # intervals merge without duplicating surviving text
+    doc = {"doc_id": "ov-1", "spans": [page_span(1), text_span(1, 0, 72.0, "abcdef ghi")]}
+    rs = [Rule("abcdef"), Rule("abc")]  # abc overlaps abcdef's word
+    out, regions, _ = redact_document("ov-1", doc["spans"], rs)
+    masks = [s for s in out if s["kind"] == "mask"]
+    assert len(masks) == 2
+    texts = [s["text"] for s in out if s["kind"] == "text"]
+    assert texts == ["ghi"]
+
+
+def test_doc_without_page_marker():
+    doc = {"doc_id": "np-1", "spans": [text_span(1, 0, 72.0, "SSN: 123-45-6789")]}
+    out, regions, hits = redact_document("np-1", doc["spans"], [Rule(r"\d{3}-\d{2}-\d{4}", is_regex=True)])
+    assert hits == 1
+    assert any(s["kind"] == "mask" for s in out)
+    assert regions[0].page == 1  # implicit page 1
+
+
+def test_empty_and_space_only_spans():
+    doc = {
+        "doc_id": "sp-1",
+        "spans": [page_span(1), text_span(1, 0, 72.0, "   "), text_span(1, 1, 72.0, "")],
+    }
+    out, _, hits = redact_document("sp-1", doc["spans"], [Rule("x")])
+    assert hits == 0
+    assert len(out) == 3  # identity (no matches)
+
+
+def test_case_insensitive_regex():
+    doc = demo_doc("ci-1")
+    out, regions, _ = redact_document(
+        "ci-1", doc["spans"], [Rule("EMAIL:", is_regex=True, case_sensitive=False)]
+    )
+    assert len(regions) == 1
+    assert regions[0].matched_text == "Email:"
+
+
+def test_match_spanning_multiple_words():
+    # a regex with a space crosses word boundaries -> region covers both
+    # words (one line -> one region)
+    doc = {"doc_id": "mw-1", "spans": [page_span(1), text_span(1, 0, 72.0, "top secret stuff")]}
+    out, regions, _ = redact_document("mw-1", doc["spans"], [Rule(r"top secret", is_regex=True)])
+    assert len(regions) == 1
+    texts = [s["text"] for s in out if s["kind"] == "text"]
+    assert texts == ["stuff"]
