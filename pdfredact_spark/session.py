@@ -25,18 +25,22 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra: dict | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    # Only force a master when one is explicitly requested (arg or env):
+    # under spark-submit the master comes from the launcher and must win.
+    master = master or os.environ.get("SPARK_MASTER") or None
     if shuffle_partitions is None:
-        if master.startswith("local["):
+        if master and master.startswith("local["):
             inner = master[6:-1]
             cores = os.cpu_count() or 8 if inner == "*" else int(inner)
             shuffle_partitions = max(8, 2 * cores)
         else:
-            shuffle_partitions = 200
+            shuffle_partitions = max(8, 2 * (os.cpu_count() or 8))
 
+    b = SparkSession.builder
+    if master:
+        b = b.master(master)
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        b.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
