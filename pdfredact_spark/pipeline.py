@@ -110,6 +110,12 @@ def _make_doc_map(rules: list[Rule], flatten: bool):
                     spans_out.append(None)
                     hits.append(0)
                     errs.append(str(e))
+                except Exception as e:  # noqa: BLE001 — malformed documents
+                    # A 10^12-doc corpus WILL contain garbage rows; route
+                    # them to the error output instead of failing the job.
+                    spans_out.append(None)
+                    hits.append(0)
+                    errs.append(f"{type(e).__name__}: {e}")
                 doc_ids.append(d)
             yield pd.DataFrame(
                 {

@@ -73,3 +73,75 @@ def run_incremental(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator: gap sessionization with cross-batch
+# state (the W4 gap-session semantics as a continuous operator)
+# ---------------------------------------------------------------------------
+EVENT_SCHEMA = "event_id long, ts timestamp_ntz, user_id long"
+
+_SESSION_OUT = (
+    "user_id long, session_start double, session_end double, n_events long"
+)
+_SESSION_STATE = "start_ts double, last_ts double, n long"
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    gap_sec: float = 1800.0,
+) -> None:
+    """Stateful streaming sessionizer (applyInPandasWithState): emits a
+    session row whenever a per-user gap > gap_sec closes one. State (open
+    session) persists in the state store across availableNow runs, so a
+    session spanning two ingestion waves closes correctly in the later run.
+    Timestamps are emitted as epoch seconds (double) for a stable schema.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_path)
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed: list[tuple] = []
+        ts_all: list[float] = []
+        for pdf in pdfs:
+            ts_all.extend(t.timestamp() for t in pdf["ts"])
+        for t in sorted(ts_all):
+            if last is None:
+                start = last = t
+                n = 1
+            elif t - last > gap_sec:
+                closed.append((user_id, start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        if last is not None:
+            state.update((float(start), float(last), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, _SESSION_OUT, _SESSION_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "sessions"))
+        .option("checkpointLocation", os.path.join(out_dir, "_session_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -145,3 +145,21 @@ def test_mega_doc_through_spark(spark):
         .count()
     )
     assert n_bands >= 2
+
+
+def test_malformed_doc_routes_to_errors(spark):
+    """Garbage rows (bad page marker) must route to the error output, not
+    kill the job — a 10^12-doc corpus will contain them."""
+    bad = {
+        "doc_id": "bad-1",
+        "spans": [
+            {"kind": "page", "text": "<page>:not-a-number", "media_ref": "", "offset": 200_000_000},
+            {"kind": "text", "text": "SSN: 123-45-6789", "media_ref": "", "offset": 200_000_720},
+        ],
+    }
+    ok = demo_doc("ok-2")
+    out, errs = redact(docs_to_df(spark, [bad, ok]), [SSN_RULE])
+    err_rows = {r["doc_id"]: r["error"] for r in errs.collect()}
+    assert set(err_rows) == {"bad-1"}
+    assert "ValueError" in err_rows["bad-1"]
+    assert set(invariant_rows(out)) == {"ok-2"}

@@ -44,3 +44,41 @@ def test_incremental_two_waves(spark, tmp_path):
     # accumulated streaming output == one-shot batch output
     batch_out, _ = redact(docs_to_df(spark, docs), [SSN_RULE])
     assert _invariant(got2.select("doc_id", "spans")) == _invariant(batch_out)
+
+
+def test_stateful_sessionize_across_waves(spark, tmp_path):
+    """A session spanning two ingestion waves closes in the later run —
+    state store carries the open session across availableNow executions."""
+    import datetime as dt
+
+    from pdfredact_spark.streaming import sessionize_stream
+
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "sess")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, user=1):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user)
+
+    # wave 1: user 1 has events at 0,5min (session A) then 90min (opens B)
+    w1 = [ev(1, 0), ev(2, 5), ev(3, 90)]
+    spark.createDataFrame(w1, "event_id long, ts timestamp_ntz, user_id long") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    sessionize_stream(spark, in_dir, out_dir, gap_sec=1800)
+    got1 = spark.read.parquet(out_dir + "/sessions").collect()
+    assert len(got1) == 1  # session A closed by the 85-min gap
+    assert got1[0]["n_events"] == 2
+
+    # wave 2: 95min continues session B; 200min closes it
+    w2 = [ev(4, 95), ev(5, 200)]
+    spark.createDataFrame(w2, "event_id long, ts timestamp_ntz, user_id long") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    sessionize_stream(spark, in_dir, out_dir, gap_sec=1800)
+    got2 = sorted(
+        spark.read.parquet(out_dir + "/sessions").collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert len(got2) == 2
+    # session B spanned both waves: 90min + 95min events
+    assert got2[1]["n_events"] == 2
+    assert got2[1]["session_end"] - got2[1]["session_start"] == 300.0  # 5 min
