@@ -325,7 +325,13 @@ def find_matches(search_text: str, rule: Rule) -> list[tuple[int, int, str]]:
     IndexOf loop advancing by len(pattern)."""
     out: list[tuple[int, int, str]] = []
     if rule.is_regex:
-        flags = 0 if rule.case_sensitive else re.IGNORECASE
+        # BuildRegexOptions (:262-278): defaults = CultureInvariant
+        # (+IgnoreCase when case-insensitive); an explicit override
+        # REPLACES the defaults entirely.
+        if rule.regex_flags is not None:
+            flags = rule.regex_flags
+        else:
+            flags = 0 if rule.case_sensitive else re.IGNORECASE
         for m in re.finditer(rule.pattern, search_text, flags):
             out.append((m.start(), m.end(), m.group(0)))
     else:

@@ -151,6 +151,12 @@ METRICS_SCHEMA = StructType(
 class Rule:
     """A redaction rule. Defaults mirror RedactionRule.cs:19,24,43:
     is_regex=False, case_sensitive=True, fragment_aware=None (tri-state auto).
+
+    ``regex_flags`` mirrors the explicit RegexOptions override
+    (RedactionRule.cs:30-37 / PdfPigTextLocator.cs:262-278): when set, it
+    REPLACES the defaults (so an explicit value without IGNORECASE makes a
+    case_sensitive=False rule case-sensitive again, exactly like the
+    reference). Use Python ``re`` flags (re.IGNORECASE | re.MULTILINE ...).
     """
 
     pattern: str
@@ -158,6 +164,7 @@ class Rule:
     case_sensitive: bool = True
     description: str | None = None
     fragment_aware: bool | None = None
+    regex_flags: int | None = None
 
     def use_fragment_mode(self) -> bool:
         """Tri-state router (PdfPigTextLocator.cs:138-159): explicit value

@@ -202,3 +202,17 @@ def test_rotated_page_without_matches_passes_through():
     out, _, hits = redact_document("rot-1", doc["spans"], [Rule("NO-SUCH")])
     assert hits == 0
     assert invariant(out) == invariant(doc["spans"])
+
+
+def test_explicit_regex_flags_override():  # PdfPigTextLocator.cs:262-278
+    import re as _re
+
+    from pdfredact_spark.kernel import find_matches
+
+    # explicit override REPLACES defaults: case_sensitive=False alone would
+    # add IGNORECASE, but an explicit flags value without it wins
+    r = Rule("ABC", is_regex=True, case_sensitive=False, regex_flags=0)
+    assert find_matches("abc ABC", r) == [(4, 7, "ABC")]
+    # and an explicit IGNORECASE on a case-sensitive rule matches both
+    r2 = Rule("ABC", is_regex=True, case_sensitive=True, regex_flags=_re.IGNORECASE)
+    assert [m[2] for m in find_matches("abc ABC", r2)] == ["abc", "ABC"]
