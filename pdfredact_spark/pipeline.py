@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -333,8 +334,6 @@ def region_summary(regions: DataFrame) -> DataFrame:
 # Decoupled plan/apply (the reference `plan` + `apply` commands:
 # PlanCommand.cs / ApplyCommand.cs + RedactionPlanSerializer.cs)
 # ---------------------------------------------------------------------------
-from pyspark.sql.types import DoubleType  # noqa: E402
-
 _PLAN_REGION_STRUCT = StructType(
     [
         StructField("pageNumber", IntegerType(), False),

@@ -22,3 +22,12 @@ def test_table_name_routing():
     assert _is_table_name("warehouse.docs.main")
     assert not _is_table_name("/data/docs")
     assert not _is_table_name("file:/data/docs")
+
+
+def test_media_real_decode_is_stubbed():
+    import pytest
+
+    from pdfredact_spark.media import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"payload", fake=False)

@@ -67,3 +67,17 @@ def test_kill_and_resume_identical_output(spark, tmp_path):
     assert all(r["n_rule_hits"] >= r["n_docs"] for r in rows)  # >=1 SSN hit per doc
     assert all(r["bytes_processed"] > 0 for r in rows)
     assert all(r["doc_id_min"] <= r["doc_id_max"] for r in rows)
+
+
+def test_resumable_flatten(spark, tmp_path):
+    from pdfredact_spark.fixtures import SSN_RULE, corpus
+    from pdfredact_spark.pipeline import docs_to_df
+
+    docs = corpus(12)
+    out = run_resumable(spark, docs_to_df(spark, docs), str(tmp_path / "f"),
+                        [SSN_RULE], n_buckets=4, buckets_per_batch=2, flatten=True)
+    rows = out.collect()
+    assert len(rows) == 12
+    for r in rows:
+        kinds = {s["kind"] for s in r["spans"]}
+        assert kinds == {"page", "media"}
