@@ -31,11 +31,13 @@ def build_rules(args) -> list:
     from pdfredact_spark.model import Rule
 
     if args.fragment_aware and args.no_fragment_aware:
-        # PlanCommand.cs:133-147 validation
-        print("error: --fragment-aware and --no-fragment-aware are mutually exclusive",
-              file=sys.stderr)
-        sys.exit(2)
-    frag = True if args.fragment_aware else (False if args.no_fragment_aware else None)
+        # Reference parity (PlanCommand.cs:152-160): the conflict is a
+        # WARNING and fragment-aware is force-disabled; the run continues.
+        print("Error: Cannot specify both --fragment-aware and --no-fragment-aware; "
+              "fragment-aware disabled (forced)", file=sys.stderr)
+        frag = False
+    else:
+        frag = True if args.fragment_aware else (False if args.no_fragment_aware else None)
     return [
         Rule(
             pattern=p,
@@ -49,7 +51,7 @@ def build_rules(args) -> list:
 
 def add_rule_flags(p) -> None:
     p.add_argument("-p", "--pattern", action="append", required=True)
-    p.add_argument("--regex", action="store_true")
+    p.add_argument("-r", "--regex", action="store_true")
     p.add_argument("--case-insensitive", action="store_true")
     p.add_argument("--fragment-aware", action="store_true")
     p.add_argument("--no-fragment-aware", action="store_true")
