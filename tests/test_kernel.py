@@ -216,3 +216,17 @@ def test_explicit_regex_flags_override():  # PdfPigTextLocator.cs:262-278
     # and an explicit IGNORECASE on a case-sensitive rule matches both
     r2 = Rule("ABC", is_regex=True, case_sensitive=True, regex_flags=_re.IGNORECASE)
     assert [m[2] for m in find_matches("abc ABC", r2)] == ["abc", "ABC"]
+
+
+def test_rotation_failfast_only_for_regions_on_rotated_page():
+    # PdfSharpMaskApplicator throws per-region: a doc whose ROTATED page has
+    # no matches but whose normal page does is applied fine.
+    doc = demo_doc("rot-2", rotation_page1=90)
+    # 'Page' only matches on page 2 ("Page 2 content") via word branch...
+    # use a pattern unique to page 2:
+    out, regions, hits = redact_document(
+        "rot-2", doc["spans"], [Rule("987-65-4321")]
+    )
+    assert hits == 1
+    assert all(r.page == 2 for r in regions)
+    assert any(s["kind"] == "mask" for s in out)
