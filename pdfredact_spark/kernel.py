@@ -426,15 +426,143 @@ def locate_page(spans: list[dict], page: PageCtx, rules: list[Rule]) -> list[Reg
                         regions.append(region_from_units(page, group, m_text, rule.pattern))
 
     if word_rules:
-        words = extract_words(spans, page.text_idx, page.height)
-        text, starts, ends = build_search_text(words)
-        for rule in word_rules:
-            for m_start, m_end, m_text in find_matches(text, rule):
-                hit = [words[i] for i in overlapping_units(starts, ends, m_start, m_end)]
-                if hit:
-                    for group in group_units_by_line(hit):
-                        regions.append(region_from_units(page, group, m_text, rule.pattern))
+        fast = _locate_words_fast(spans, page, word_rules)
+        if fast is not None:
+            regions.extend(fast)
+        else:
+            regions.extend(_locate_words_general(spans, page, word_rules))
 
+    return regions
+
+
+def _locate_words_general(
+    spans: list[dict], page: PageCtx, word_rules: list[Rule]
+) -> list[Region]:
+    """Unit-materializing word branch (the direct transcription of the
+    reference flow); used when the fast path declines a page, and as the
+    equivalence oracle for it in tests."""
+    regions: list[Region] = []
+    words = extract_words(spans, page.text_idx, page.height)
+    text, starts, ends = build_search_text(words)
+    for rule in word_rules:
+        for m_start, m_end, m_text in find_matches(text, rule):
+            hit = [words[i] for i in overlapping_units(starts, ends, m_start, m_end)]
+            if hit:
+                for group in group_units_by_line(hit):
+                    regions.append(region_from_units(page, group, m_text, rule.pattern))
+    return regions
+
+
+def _locate_words_fast(
+    spans: list[dict], page: PageCtx, word_rules: list[Rule]
+) -> list[Region] | None:
+    """O(hits) word-branch: identical output to the unit-materializing path
+    but without building per-word objects.
+
+    The searchable text is assembled SPAN-segment-wise (each text span's
+    words joined by single spaces — byte-identical to the reference's
+    word-joined text when same-row spans don't overlap in x, because the
+    global word sort (Bottom asc, Left asc) then equals the span-segment
+    order). Word structures are materialized lazily, only around match
+    positions. Returns None when a page needs the general path
+    (x-overlapping spans on one row)."""
+    import bisect
+
+    # Per-span geometry + normalized segment text, sorted by (bottom, left).
+    segs = []  # (bottom, left, si, x0, top, t, norm, regular)
+    for si in page.text_idx:
+        span = spans[si]
+        _, x0, top, bottom = _span_geom(span, page.height)
+        t = span["text"]
+        words = t.split()
+        if not words:
+            continue
+        norm = " ".join(words)
+        lead = len(t) - len(t.lstrip(" \t"))
+        segs.append((bottom, x0 + GLYPH_W * lead, si, x0, top, t, norm, norm == t))
+    segs.sort(key=lambda s: (s[0], s[1]))
+
+    # Same-row x-overlap check: if spans interleave in x, the reference's
+    # global word sort differs from segment order -> general path.
+    by_row: dict[float, list] = {}
+    for s in segs:
+        by_row.setdefault(s[0], []).append(s)
+    for row in by_row.values():
+        prev_right = None
+        for s in row:
+            left = s[1]
+            right = s[3] + GLYPH_W * len(s[5].rstrip(" \t"))
+            if prev_right is not None and left < prev_right:
+                return None
+            prev_right = right
+
+    parts: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    pos = 0
+    for s in segs:
+        starts.append(pos)
+        pos += len(s[6])
+        ends.append(pos)
+        parts.append(s[6])
+        pos += 1
+    search = " ".join(parts) + (" " if parts else "")
+
+    word_maps: dict[int, list] = {}  # seg idx -> [(norm_a, norm_b, t_a, t_b)]
+
+    def covered_range(k: int, lo: int, hi: int) -> tuple[int, int]:
+        """Expand the norm-coordinate range [lo, hi) of segment k to whole
+        words, returning the covering char range in the ORIGINAL span text."""
+        _, _, _, _, _, t, norm, regular = segs[k]
+        if regular:
+            a = t.rfind(" ", 0, lo) + 1
+            b = t.find(" ", max(hi - 1, lo))
+            if b == -1:
+                b = len(t)
+            return a, b
+        wm = word_maps.get(k)
+        if wm is None:
+            wm = []
+            npos = 0
+            for m in _WORD_RE.finditer(t):
+                ta, tb = m.span()
+                wm.append((npos, npos + tb - ta, ta, tb))
+                npos += tb - ta + 1
+            word_maps[k] = wm
+        first = next(w for w in wm if w[1] > lo)
+        last = next(w for w in reversed(wm) if w[0] < hi)
+        return first[2], last[3]
+
+    regions: list[Region] = []
+    for rule in word_rules:
+        for m_start, m_end, m_text in find_matches(search, rule):
+            lo_i = bisect.bisect_right(ends, m_start)
+            hi_i = bisect.bisect_left(starts, m_end)
+            hits: list[Unit] = []
+            for k in range(lo_i, hi_i):
+                bottom, _, si, x0, top, t, norm, _ = segs[k]
+                c_lo = max(m_start - starts[k], 0)
+                c_hi = min(m_end - starts[k], len(norm))
+                if m_end == m_start:
+                    # zero-width match: a word is covered only when the
+                    # position is STRICTLY inside it (end > p AND start < p)
+                    p = c_lo
+                    if not (0 < p < len(norm) and norm[p] != " " and norm[p - 1] != " "):
+                        continue
+                a, b = covered_range(k, c_lo, c_hi)
+                hits.append(
+                    Unit(
+                        text=t[a:b],
+                        left=x0 + GLYPH_W * a,
+                        right=x0 + GLYPH_W * b,
+                        bottom=bottom,
+                        top=top,
+                        chars=[(si, a, b)],
+                    )
+                )
+            if hits:
+                for group in group_units_by_line(hits):
+                    regions.append(region_from_units(page, group, m_text, rule.pattern))
     return regions
 
 
