@@ -147,3 +147,19 @@ def test_match_spanning_multiple_words():
     assert len(regions) == 1
     texts = [s["text"] for s in out if s["kind"] == "text"]
     assert texts == ["stuff"]
+
+
+@settings(max_examples=120, deadline=None)
+@given(doc=documents(), rs=st.lists(rules(), min_size=1, max_size=3))
+def test_fast_path_equals_general_on_random_docs(doc, rs):
+    import pdfredact_spark.kernel as K
+
+    out_fast, _, h_f = K.redact_document(doc["doc_id"], doc["spans"], rs)
+    real = K._locate_words_fast
+    K._locate_words_fast = lambda *a, **k: None
+    try:
+        out_gen, _, h_g = K.redact_document(doc["doc_id"], doc["spans"], rs)
+    finally:
+        K._locate_words_fast = real
+    assert h_f == h_g
+    assert out_fast == out_gen
