@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pdfredact_spark.fixtures import MULTI_RULES, SSN_RULE, corpus, demo_doc
 from pdfredact_spark.kernel import locate_document, redact_document
 from pdfredact_spark.media import decode_media, fetch_media_bytes, media_metadata
+from pdfredact_spark.model import Rule
 from pdfredact_spark.pipeline import (
     docs_to_df,
     locate_regions,
@@ -85,6 +86,41 @@ def q_flatten_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pages"),
     )
+
+
+# fragment-aware digit-run rule over the boxed fixture docs
+_BOXED_RULES = [Rule(r"\d{3,9}", is_regex=True, fragment_aware=True)]
+
+
+def _boxed_docs() -> list[dict]:
+    from pdfredact_spark.fixtures import all_fixtures
+
+    fx = all_fixtures()
+    return [fx[k]["doc"] for k in ("fx-01", "fx-02", "fx-03", "fx-05", "fx-06", "fx-08")]
+
+
+def q_redact_boxed_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment-aware branch through the DISTRIBUTED pipeline: boxed-digit
+    fixture docs + a digit-run regex -> per-doc mask counts (exercises the
+    letter tokenizer W3-W5 under Spark, not just in pytest)."""
+    df = docs_to_df(spark, _boxed_docs())
+    out, _ = redact(df, _BOXED_RULES)
+    return out.select(
+        "doc_id",
+        F.size(F.filter("spans", lambda s: s.kind == F.lit("mask")))
+        .cast("long")
+        .alias("n_masks"),
+        F.size("spans").cast("long").alias("n_spans"),
+    )
+
+
+def oracle_redact_boxed_fragments() -> str:
+    rows = []
+    for d in _boxed_docs():
+        out, _, _ = redact_document(d["doc_id"], d["spans"], _BOXED_RULES)
+        n_masks = sum(1 for s in out if s["kind"] == "mask")
+        rows.append((d["doc_id"], n_masks, len(out)))
+    return _values_sql(rows, ["doc_id", "n_masks", "n_spans"])
 
 
 def q_mask_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,6 +282,7 @@ PIPELINE_QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "mask_geometry": q_mask_geometry,
     "region_page_summary": q_region_page_summary,
+    "redact_boxed_fragments": q_redact_boxed_fragments,
 }
 
 PIPELINE_ORACLES = {
@@ -255,4 +292,5 @@ PIPELINE_ORACLES = {
     "media_frame_sample": oracle_media_frame_sample,
     "mask_geometry": oracle_mask_geometry,
     "region_page_summary": oracle_region_page_summary,
+    "redact_boxed_fragments": oracle_redact_boxed_fragments,
 }
