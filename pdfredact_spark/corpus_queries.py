@@ -13,7 +13,6 @@ the Arrow boundary, page-level parallelism, or reassembly.
 
 from __future__ import annotations
 
-import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
