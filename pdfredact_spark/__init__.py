@@ -20,6 +20,33 @@ Layers
 - ``queries``    — driver-contract query inventory (+ DuckDB oracle SQL)
 """
 
-from pdfredact_spark.model import Rule, SPAN_SCHEMA, DOC_SCHEMA  # noqa: F401
+from pdfredact_spark.model import DOC_SCHEMA, SPAN_SCHEMA, Rule  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy re-exports of the engine surface (keeps `import pdfredact_spark`
+    cheap — no Spark import until a pipeline symbol is touched)."""
+    surface = {
+        "redact": "pipeline",
+        "redact_full": "pipeline",
+        "redact_with_hits": "pipeline",
+        "locate_regions": "pipeline",
+        "apply_plans": "pipeline",
+        "regions_to_plans": "pipeline",
+        "read_plans": "pipeline",
+        "docs_to_df": "pipeline",
+        "run_resumable": "checkpoint",
+        "run_incremental": "streaming",
+        "sessionize_stream": "streaming",
+        "get_spark": "session",
+        "Catalog": "catalog",
+    }
+    if name in surface:
+        import importlib
+
+        mod = importlib.import_module(f"pdfredact_spark.{surface[name]}")
+        return getattr(mod, name)
+    raise AttributeError(name)
+
 
 __version__ = "0.1.0"
