@@ -110,7 +110,14 @@ def run_resumable(
         errs = full.where(F.col("error").isNotNull()).select("doc_id", "error")
 
         data_path = os.path.join(out_dir, "data", f"batch={batch_id}")
-        out.select("doc_id", "spans", "bucket").write.mode("overwrite").parquet(data_path)
+        # Hive-partitioned by bucket: downstream reads of specific buckets
+        # prune partitions at planning time (asserted in test_plan_quality).
+        (
+            out.select("doc_id", "spans", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(data_path)
+        )
 
         # Lineage rows: one per bucket (the resume partition unit).
         metrics = (

@@ -77,3 +77,17 @@ def test_whole_stage_codegen_on_sql_queries(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark WholeStageCodegen spans in the compact form
     assert "*(1)" in executed and "*(2)" in executed, executed[:500]
+
+
+def test_bucket_partition_pruning(spark, tmp_path):
+    """The resumable output layout prunes bucket partitions at plan time."""
+    from pdfredact_spark.checkpoint import run_resumable
+    from pdfredact_spark.fixtures import corpus
+
+    out_dir = str(tmp_path / "o")
+    run_resumable(spark, docs_to_df(spark, corpus(20)), out_dir, [SSN_RULE],
+                  n_buckets=4, buckets_per_batch=4)
+    df = spark.read.parquet(out_dir + "/data").where(F.col("bucket") == 2)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+    assert df.count() > 0
