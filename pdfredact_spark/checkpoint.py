@@ -164,3 +164,10 @@ def run_resumable(
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "metrics"))
+
+
+def read_errors(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Quarantined documents (rotation fail-fast / malformed rows) with
+    their error messages, read back from the materialized raw output."""
+    raw = spark.read.parquet(os.path.join(out_dir, "raw"))
+    return raw.where(F.col("error").isNotNull()).select("doc_id", "error")

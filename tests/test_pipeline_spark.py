@@ -163,3 +163,33 @@ def test_malformed_doc_routes_to_errors(spark):
     assert set(err_rows) == {"bad-1"}
     assert "ValueError" in err_rows["bad-1"]
     assert set(invariant_rows(out)) == {"ok-2"}
+
+
+def test_large_random_differential_vs_kernel(spark):
+    """Differential test at a larger scale than the fixtures: 300 random
+    docs (seeded), multi-rule set, distributed output must equal the pure
+    kernel doc-for-doc."""
+    import random
+
+    from pdfredact_spark.fixtures import page_span, text_span
+
+    rng = random.Random(1234)
+    vocab = ["alpha", "beta", "123-45-6789", "Email:", "x-9", "CONFIDENTIAL",
+             "987-65-4321", "4532-1234-5678-9010", "zzz", "a"]
+    docs = []
+    for i in range(300):
+        spans = [page_span(1)]
+        for r in range(rng.randint(1, 8)):
+            line = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
+            spans.append(text_span(1, r, 72.0, line))
+        if rng.random() < 0.3:
+            spans.append(page_span(2))
+            spans.append(text_span(2, 0, 72.0, " ".join(rng.choice(vocab) for _ in range(5))))
+        docs.append({"doc_id": f"rd{i:05d}", "spans": spans})
+
+    out, errs = redact(docs_to_df(spark, docs), MULTI_RULES)
+    assert errs.count() == 0
+    got = invariant_rows(out)
+    for d in docs:
+        exp, _, _ = redact_document(d["doc_id"], d["spans"], MULTI_RULES)
+        assert got[d["doc_id"]] == [(s["kind"], s["text"], s["media_ref"]) for s in exp], d["doc_id"]

@@ -81,3 +81,18 @@ def test_resumable_flatten(spark, tmp_path):
     for r in rows:
         kinds = {s["kind"] for s in r["spans"]}
         assert kinds == {"page", "media"}
+
+
+def test_error_quarantine_readback(spark, tmp_path):
+    from pdfredact_spark.checkpoint import read_errors
+    from pdfredact_spark.fixtures import SSN_RULE, corpus, demo_doc
+    from pdfredact_spark.pipeline import docs_to_df
+
+    docs = corpus(10) + [demo_doc("rot-q", rotation_page1=90)]
+    out_dir = str(tmp_path / "q")
+    out = run_resumable(spark, docs_to_df(spark, docs), out_dir, [SSN_RULE],
+                        n_buckets=4, buckets_per_batch=4)
+    assert out.count() == 10  # rotated doc quarantined
+    errs = read_errors(spark, out_dir).collect()
+    assert [e["doc_id"] for e in errs] == ["rot-q"]
+    assert "rotation" in errs[0]["error"].lower()
