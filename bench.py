@@ -41,15 +41,23 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "gap_sessionize",
     "interval_overlap_join",
+    "asof_join",
     "upper_median",
     "prefix_sum_offsets",
+    "rollup_counts",
+    "top_customers",
+    "shipping_priority",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "simhash_fingerprint",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality",
     "doc_fingerprint",
+    "winnowing_fingerprints",
+    "decontaminate_blocklist",
+    "deterministic_sample",
 ]
 
 

@@ -81,3 +81,32 @@ def test_apply_rotation_failfast_from_plan(spark, tmp_path):
     assert [r["doc_id"] for r in err_rows] == ["rot-plan"]
     assert "rotation" in err_rows[0]["error"].lower()
     assert applied.count() == 0
+
+
+def test_apply_plans_differential_random(spark):
+    """Decoupled Spark apply == kernel apply_plan on randomized docs."""
+    import random
+
+    from pdfredact_spark.fixtures import page_span, text_span
+    from pdfredact_spark.kernel import apply_plan as k_apply
+    from pdfredact_spark.kernel import locate_document
+
+    rng = random.Random(77)
+    vocab = ["Email:", "123-45-6789", "foo", "bar-1", "CONFIDENTIAL"]
+    docs = []
+    for i in range(60):
+        spans = [page_span(1)]
+        for r in range(rng.randint(1, 5)):
+            spans.append(text_span(1, r, 72.0, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 7)))))
+        docs.append({"doc_id": f"ap{i:04d}", "spans": spans})
+
+    df = docs_to_df(spark, docs)
+    regions = locate_regions(df, MULTI_RULES)
+    plans = regions_to_plans(regions)
+    applied, errs = apply_plans(df, plans)
+    assert errs.count() == 0
+    got = invariant_rows(applied)
+    for d in docs:
+        regs = locate_document(d["doc_id"], d["spans"], MULTI_RULES)
+        exp, _ = k_apply(d["doc_id"], d["spans"], regs)
+        assert got[d["doc_id"]] == [(s["kind"], s["text"], s["media_ref"]) for s in exp], d["doc_id"]
