@@ -51,7 +51,6 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "simhash_fingerprint",
-    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality",
     "doc_fingerprint",
