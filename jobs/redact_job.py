@@ -130,10 +130,11 @@ def main() -> None:
             regions_to_plans(regions).write.mode("overwrite").json(args.save_plan)
             print(f"Redaction plan saved to: {args.save_plan}")
         if args.resume_dir:
-            from pdfredact_spark.checkpoint import run_resumable
+            from pdfredact_spark.checkpoint import read_errors, run_resumable
 
             out = run_resumable(spark, docs, args.resume_dir, rules, flatten=flatten)
             out.select("doc_id", "spans").write.mode("overwrite").parquet(args.output)
+            _report_errors(read_errors(spark, args.resume_dir), args.error_output)
         else:
             good, errors = redact(docs, rules, flatten=flatten)
             good.write.mode("overwrite").parquet(args.output)
