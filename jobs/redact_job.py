@@ -119,7 +119,7 @@ def main() -> None:
         plans = read_plans(spark, args.plan)
         good, errors = apply_plans(docs, plans)
         good.write.mode("overwrite").parquet(args.output)
-        _report_errors(errors, args.error_output)
+        _report_errors(errors, args.error_output, spark, docs, args.output)
         print(f"Redacted output saved to: {args.output}")
 
     else:  # redact / flatten (fused)
@@ -138,16 +138,24 @@ def main() -> None:
         else:
             good, errors = redact(docs, rules, flatten=flatten)
             good.write.mode("overwrite").parquet(args.output)
-            _report_errors(errors, args.error_output)
+            _report_errors(errors, args.error_output, spark, docs, args.output)
         print(f"Redacted output saved to: {args.output}")
 
     spark.stop()
 
 
-def _report_errors(errors, error_output: str | None) -> None:
+def _report_errors(errors, error_output: str | None,
+                   spark=None, docs=None, written_path: str | None = None) -> None:
     if error_output:
         errors.write.mode("overwrite").parquet(error_output)
         print(f"Errored documents routed to: {error_output}")
+    elif spark is not None and docs is not None and written_path:
+        # error count = input docs - emitted docs (avoids recomputing the
+        # Python stage just to count the error side of the same lineage)
+        n = docs.count() - spark.read.parquet(written_path).count()
+        if n:
+            print(f"WARNING: {n} document(s) skipped (rotation fail-fast); "
+                  "pass --error-output to capture them")
     else:
         n = errors.count()
         if n:
