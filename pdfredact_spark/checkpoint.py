@@ -92,7 +92,7 @@ def run_resumable(
             continue
         lo = batch_id * buckets_per_batch
         hi = min(lo + buckets_per_batch, n_buckets)
-        batch = docs.filter((F.col("bucket") >= lo) & (F.col("bucket") < lo + buckets_per_batch))
+        batch = docs.filter((F.col("bucket") >= lo) & (F.col("bucket") < hi))
         # Materialize the single-pass result ONCE; good/error views are then
         # derived from the written files (no recompute of the Python stage).
         full = redact_full(batch.select("doc_id", "spans"), rules, flatten)
