@@ -4,8 +4,9 @@ Exact-semantics re-creation of the reference's locate/apply algorithms over
 the span data model. Every function cites the reference behavior it
 reproduces (file:line into /root/reference/). These kernels are unit-tested
 as plain Python (tests/test_kernel.py ports the 16 reference xUnit facts)
-and are then invoked batch-at-a-time from Arrow-vectorized ``applyInPandas``
-stages in pipeline.py — there is no Spark row-at-a-time Python anywhere.
+and are then invoked batch-at-a-time from Arrow-vectorized ``mapInPandas``
+/ ``applyInPandas`` stages in pipeline.py — there is no Spark
+row-at-a-time Python anywhere.
 
 Semantics notes (documented deviations, all fixture-consistent):
 
