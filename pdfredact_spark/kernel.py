@@ -24,7 +24,9 @@ Semantics notes (documented deviations, all fixture-consistent):
 
 from __future__ import annotations
 
+import bisect
 import re
+import unicodedata
 from dataclasses import dataclass, field
 
 from pdfredact_spark.model import (
@@ -200,8 +202,6 @@ def _is_single_digit_token(text: str) -> bool:
 
 
 def _is_nd(ch: str) -> bool:
-    import unicodedata
-
     return unicodedata.category(ch) == "Nd"
 
 
@@ -356,8 +356,6 @@ def overlapping_units(
     end > m_start and start < m_end. Units are contiguous and sorted by
     start, so the hits are one index range — found by bisection (the O(log n)
     upgrade the reference itself flags at IMPLEMENTATION.md:158)."""
-    import bisect
-
     lo = bisect.bisect_right(ends, m_start)   # first unit with end > m_start
     hi = bisect.bisect_left(starts, m_end)    # first unit with start >= m_end
     return list(range(lo, hi))
@@ -467,8 +465,6 @@ def _locate_words_fast(
     order). Word structures are materialized lazily, only around match
     positions. Returns None when a page needs the general path
     (x-overlapping spans on one row)."""
-    import bisect
-
     # Per-span geometry + normalized segment text, sorted by (bottom, left).
     segs = []  # (bottom, left, si, x0, top, t, norm, regular)
     for si in page.text_idx:
