@@ -512,7 +512,14 @@ def _locate_words_fast(
         words, returning the covering char range in the ORIGINAL span text."""
         _, _, _, _, _, t, norm, regular = segs[k]
         if regular:
-            a = t.rfind(" ", 0, lo) + 1
+            # Mirror the word-map semantics (first word with end > lo): a
+            # match boundary landing ON an inter-word space must snap to the
+            # FOLLOWING word, not the preceding one. `regular` guarantees
+            # single spaces, so lo+1 is the next word's start.
+            if t[lo] == " ":
+                a = lo + 1
+            else:
+                a = t.rfind(" ", 0, lo) + 1
             b = t.find(" ", max(hi - 1, lo))
             if b == -1:
                 b = len(t)
@@ -547,6 +554,11 @@ def _locate_words_fast(
                     if not (0 < p < len(norm) and norm[p] != " " and norm[p - 1] != " "):
                         continue
                 a, b = covered_range(k, c_lo, c_hi)
+                if a >= b:
+                    # Match lies entirely on inter-word whitespace within
+                    # this segment: no word is covered (the general path's
+                    # overlapping_units returns nothing for it).
+                    continue
                 hits.append(
                     Unit(
                         text=t[a:b],

@@ -30,6 +30,12 @@ RULE_SETS = [
     [Rule(r"(?s).+", is_regex=True)],  # matches the entire search text
     [Rule("t", case_sensitive=False)],
     [Rule(" ")],  # literal space: matches every joiner
+    # whitespace-boundary regressions: a match edge landing ON an inter-word
+    # space must snap to the following/preceding word, and all-space matches
+    # must cover nothing (covered_range word-map semantics)
+    [Rule(" content"), Rule("Email: ")],
+    [Rule(r" \S+", is_regex=True)],
+    [Rule(r"\s+", is_regex=True)],
 ]
 
 DOCS = [
@@ -78,3 +84,21 @@ def test_overlap_page_declines_fast_path():
     doc = DOCS[-1]
     pg = K.split_pages(doc["spans"])[0]
     assert K._locate_words_fast(doc["spans"], pg, [Rule("aaaa")]) is None
+
+
+def test_space_boundary_covers_following_word_only():
+    # Regression (ADVICE r1): regex/literal ' cd' on 'ab cd' must cover only
+    # 'cd'; an all-space match must emit no region at all.
+    doc = {"doc_id": "ws-1", "spans": [page_span(1), text_span(1, 0, 72.0, "ab cd")]}
+    pg = K.split_pages(doc["spans"])[0]
+    for rule in [Rule(" cd"), Rule(" cd", is_regex=True)]:
+        fast = K._locate_words_fast(doc["spans"], pg, [rule])
+        gen = K._locate_words_general(doc["spans"], pg, [rule])
+        assert [(r.x, r.width, r.matched_text) for r in fast] == [
+            (r.x, r.width, r.matched_text) for r in gen
+        ]
+        assert fast[0].matched_text == " cd"
+        assert abs(fast[0].x - gen[0].x) < 1e-9
+    for rule in [Rule(" ", is_regex=True), Rule(r"\s", is_regex=True)]:
+        assert K._locate_words_fast(doc["spans"], pg, [rule]) == []
+        assert K._locate_words_general(doc["spans"], pg, [rule]) == []

@@ -36,15 +36,26 @@ def documents(draw):
 
 @st.composite
 def rules(draw):
-    kind = draw(st.integers(0, 2))
+    kind = draw(st.integers(0, 3))
     if kind == 0:
         return Rule(draw(st.sampled_from(WORDS)))
     if kind == 1:
         return Rule(r"\d{3}-\d{2}-\d{4}", is_regex=True)
-    return Rule(
-        draw(st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=4)),
-        case_sensitive=draw(st.booleans()),
+    if kind == 2:
+        return Rule(
+            draw(st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=4)),
+            case_sensitive=draw(st.booleans()),
+        )
+    # Whitespace-boundary patterns: leading / trailing / only spaces.
+    # These exercise covered_range's match-lands-on-a-space handling
+    # (the fast path must snap to the word-map semantics, not rfind).
+    pat = draw(
+        st.sampled_from(
+            [" alpha", "beta ", " gamma ", " ", "  ", r"\s+", r" \w+", r"\w+ ", r" ?beta"]
+        )
     )
+    is_re = pat.startswith(("\\", " ?")) or "\\" in pat
+    return Rule(pat, is_regex=is_re)
 
 
 @settings(max_examples=150, deadline=None)

@@ -1,14 +1,19 @@
 """Driver-mimic oracle parity: run every queries() entry on Spark at
 sf0.01 and its oracle_sql() twin on DuckDB, compare row count, sorted
-column names, and an order-insensitive value multiset — the same contract
-the driver's CORRECTNESS check applies.
+column names, and a pandas value hash — the same contract the driver's
+CORRECTNESS check applies.
+
+The comparison deliberately goes through pandas (``df.toPandas()`` vs
+duckdb ``.df()``) and hashes the materialized frames, because that is the
+driver's path: a DuckDB HUGEINT that pandas widens to float64 must FAIL
+here even when the integer values are equal (round-1 gap_sessionize
+regression — ADVICE r1 #3).
 """
 
 from __future__ import annotations
 
-import math
-
 import duckdb
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -28,19 +33,16 @@ def ddb():
     return con
 
 
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}"
-    if hasattr(v, "__float__") and not isinstance(v, (int, bool)):
-        return f"{float(v):.6g}"
-    return str(v)
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name-sorted, row-sorted frame — the driver's pre-hash shape."""
+    df = df[sorted(df.columns)].copy()
+    if len(df.columns):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
 
 
-def _multiset(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+def _value_hash(df: pd.DataFrame) -> int:
+    return int(pd.util.hash_pandas_object(df, index=False).sum())
 
 
 ORACLES = entry_mod.oracle_sql()
@@ -49,23 +51,22 @@ QUERIES = entry_mod.queries()
 
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
 def test_oracle_parity(name, spark, ddb):
-    df = QUERIES[name](spark, SF_DIR)
-    spark_cols = df.columns
-    spark_rows = [tuple(r) for r in df.collect()]
+    sdf = _canon(QUERIES[name](spark, SF_DIR).toPandas())
+    odf = _canon(ddb.execute(ORACLES[name]).df())
 
-    res = ddb.execute(ORACLES[name])
-    ddb_cols = [d[0] for d in res.description]
-    ddb_rows = res.fetchall()
-
-    assert sorted(spark_cols) == sorted(ddb_cols), name
-    assert len(spark_rows) == len(ddb_rows), (
-        f"{name}: spark={len(spark_rows)} duckdb={len(ddb_rows)}"
-    )
-    ms_s = _multiset(spark_rows, spark_cols)
-    ms_d = _multiset(ddb_rows, ddb_cols)
-    if ms_s != ms_d:
-        diff = [(a, b) for a, b in zip(ms_s, ms_d) if a != b][:5]
-        pytest.fail(f"{name}: value mismatch, first diffs: {diff}")
+    assert list(sdf.columns) == list(odf.columns), name
+    assert len(sdf) == len(odf), f"{name}: spark={len(sdf)} duckdb={len(odf)}"
+    if _value_hash(sdf) != _value_hash(odf):
+        dtype_diff = {
+            c: (str(sdf[c].dtype), str(odf[c].dtype))
+            for c in sdf.columns
+            if str(sdf[c].dtype) != str(odf[c].dtype)
+        }
+        neq = sdf.astype(str).compare(odf.astype(str)).head(5)
+        pytest.fail(
+            f"{name}: pandas value-hash mismatch; dtype diffs: {dtype_diff}; "
+            f"first value diffs:\n{neq}"
+        )
 
 
 def test_rows_only_queries_run(spark):
