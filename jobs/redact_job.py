@@ -27,17 +27,32 @@ import argparse
 import sys
 
 
-def build_rules(args) -> list:
+def build_rules(args, verb: str) -> list:
+    """Rule construction + console preamble (PlanCommand.cs:125-165 /
+    RedactCommand.cs:136-165). A --fragment-aware/--no-fragment-aware
+    conflict is a hard error: print to stderr and exit(1), exactly like the
+    reference's Environment.Exit(1) (PlanCommand.cs:133-137,
+    RedactCommand.cs:144-148)."""
+    print(f"{verb}: {args.input}")
+    print(f"Patterns ({len(args.pattern)}): {', '.join(args.pattern)}")
+    print(f"Mode: {'Regex' if args.regex else 'Literal'}")
+    print(f"Case-sensitive: {not args.case_insensitive}")
+    if args.fragment_aware and args.no_fragment_aware:
+        print("Error: Cannot specify both --fragment-aware and --no-fragment-aware",
+              file=sys.stderr)
+        sys.exit(1)
+    elif args.fragment_aware:
+        frag = True
+        print("Fragment-aware: enabled (forced)")
+    elif args.no_fragment_aware:
+        frag = False
+        print("Fragment-aware: disabled (forced)")
+    else:
+        frag = None
+        print("Fragment-aware: auto-detect (enabled for numeric patterns)")
+    print()
     from pdfredact_spark.model import Rule
 
-    if args.fragment_aware and args.no_fragment_aware:
-        # Reference parity (PlanCommand.cs:152-160): the conflict is a
-        # WARNING and fragment-aware is force-disabled; the run continues.
-        print("Error: Cannot specify both --fragment-aware and --no-fragment-aware; "
-              "fragment-aware disabled (forced)", file=sys.stderr)
-        frag = False
-    else:
-        frag = True if args.fragment_aware else (False if args.no_fragment_aware else None)
     return [
         Rule(
             pattern=p,
@@ -57,17 +72,23 @@ def add_rule_flags(p) -> None:
     p.add_argument("--no-fragment-aware", action="store_true")
 
 
-def print_summary(regions_df) -> None:
-    """Per-page summary sink (PlanCommand.cs:174-183)."""
-    from pdfredact_spark.pipeline import region_summary
+def print_summary(summary_df) -> None:
+    """Per-page summary sink (PlanCommand.cs:174-183). Totals are computed
+    IN Spark (never one driver row per page — at 10^12 docs that collect is
+    a driver OOM); only the 50 display rows are collected."""
+    from pyspark.sql import functions as F
 
-    rows = region_summary(regions_df).collect()
-    total = sum(r["n_redactions"] for r in rows)
-    print(f"Found {total} region(s) to redact across {len({r['doc_id'] for r in rows})} document(s)")
-    for r in rows[:50]:
+    tot = summary_df.agg(
+        F.coalesce(F.sum("n_redactions"), F.lit(0)).alias("total"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_pages"),
+    ).collect()[0]
+    rows = summary_df.orderBy("doc_id", "page").limit(50).collect()
+    print(f"Found {tot['total']} region(s) to redact across {tot['n_docs']} document(s)")
+    for r in rows:
         print(f"  {r['doc_id']} page {r['page']}: {r['n_redactions']} redaction(s)")
-    if len(rows) > 50:
-        print(f"  ... {len(rows) - 50} more pages")
+    if tot["n_pages"] > 50:
+        print(f"  ... {tot['n_pages'] - 50} more pages")
 
 
 def main() -> None:
@@ -96,12 +117,20 @@ def main() -> None:
 
     args = ap.parse_args()
 
+    # Rule/flag validation (and the conflict hard-exit) happens BEFORE the
+    # Spark session spins up, like the reference CLI.
+    if args.cmd == "plan":
+        rules = build_rules(args, "Creating redaction plan for")
+    elif args.cmd != "apply":
+        rules = build_rules(args, "Redacting PDF")
+
     from pdfredact_spark.pipeline import (
         apply_plans,
         locate_regions,
         read_plans,
         redact,
         regions_to_plans,
+        summary_from_plans,
     )
     from pdfredact_spark.session import get_spark
 
@@ -110,9 +139,13 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
 
     if args.cmd == "plan":
-        regions = locate_regions(docs, build_rules(args))
+        regions = locate_regions(docs, rules)
         regions_to_plans(regions).write.mode("overwrite").json(args.output)
-        print_summary(regions)
+        # Summarize from the plan JSON just written: the Python locate stage
+        # executes exactly once (the write); the summary re-reads the
+        # materialized plans (ADVICE r1: two actions on one unmaterialized
+        # lineage ran mapInPandas twice).
+        print_summary(summary_from_plans(read_plans(spark, args.output)))
         print(f"Redaction plan saved to: {args.output}")
 
     elif args.cmd == "apply":
@@ -123,7 +156,6 @@ def main() -> None:
         print(f"Redacted output saved to: {args.output}")
 
     else:  # redact / flatten (fused)
-        rules = build_rules(args)
         flatten = args.cmd == "flatten"
         if args.save_plan:
             regions = locate_regions(docs, rules)
@@ -135,6 +167,14 @@ def main() -> None:
             out = run_resumable(spark, docs, args.resume_dir, rules, flatten=flatten)
             out.select("doc_id", "spans").write.mode("overwrite").parquet(args.output)
             _report_errors(read_errors(spark, args.resume_dir), args.error_output)
+        elif args.save_plan and not flatten:
+            # The plan JSON above already ran the Python locate stage; apply
+            # the MATERIALIZED plan instead of re-running the fused kernel
+            # (locate+apply == fused is property-tested), mirroring
+            # RedactCommand.cs: locate once, save, apply.
+            good, errors = apply_plans(docs, read_plans(spark, args.save_plan))
+            good.write.mode("overwrite").parquet(args.output)
+            _report_errors(errors, args.error_output, spark, docs, args.output)
         else:
             good, errors = redact(docs, rules, flatten=flatten)
             good.write.mode("overwrite").parquet(args.output)

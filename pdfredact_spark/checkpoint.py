@@ -142,7 +142,12 @@ def run_resumable(
         metrics_path = os.path.join(out_dir, "metrics", f"batch={batch_id}")
         metrics.write.mode("overwrite").parquet(metrics_path)
 
-        err_rows = errs.collect()
+        # Bounded error sample: the manifest keeps at most 100 rows, so never
+        # ship more than that to the driver (a high-error-rate corpus must
+        # not OOM the driver); the exact count is a separate cheap scan of
+        # the already-materialized raw parquet.
+        n_errors = errs.count()
+        err_rows = errs.limit(100).collect() if n_errors else []
         _commit(
             out_dir,
             batch_id,
@@ -150,8 +155,8 @@ def run_resumable(
                 "run_id": run_id,
                 "batch_id": batch_id,
                 "buckets": list(range(lo, hi)),
-                "n_errors": len(err_rows),
-                "errors": [{"doc_id": r["doc_id"], "error": r["error"]} for r in err_rows[:100]],
+                "n_errors": n_errors,
+                "errors": [{"doc_id": r["doc_id"], "error": r["error"]} for r in err_rows],
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             },
         )

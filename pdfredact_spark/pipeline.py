@@ -383,6 +383,18 @@ def read_plans(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(PLAN_SCHEMA).json(path)
 
 
+def summary_from_plans(plans: DataFrame) -> DataFrame:
+    """Per-page redaction counts derived from MATERIALIZED plan JSON rather
+    than the live region lineage, so the console summary never re-executes
+    the Python locate stage (BENCH/BASELINE.md finding #1: two actions on
+    one unmaterialized mapInPandas lineage run it twice)."""
+    return (
+        plans.select(F.col("sourcePdfPath").alias("doc_id"), F.explode("regions").alias("r"))
+        .groupBy("doc_id", F.col("r.pageNumber").alias("page"))
+        .agg(F.count("*").alias("n_redactions"))
+    )
+
+
 def apply_plans(docs: DataFrame, plans: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Decoupled apply: join saved plans to documents on doc_id and mask
     geometrically (kernel.apply_plan). Docs without a plan copy through

@@ -55,6 +55,11 @@ def load_plan(file_path: str) -> tuple[str, list[Region]]:
         raise FileNotFoundError(f"Plan file not found: {file_path}")
     with open(file_path, encoding="utf-8") as f:
         data = json.load(f)
+    if not isinstance(data, dict):
+        # Parity with RedactionPlanSerializer.cs:75-79: a JSON `null` (or
+        # any non-object) deserializes to no plan -> one clean error, not a
+        # raw KeyError/TypeError from the field access below.
+        raise ValueError("Failed to deserialize redaction plan")
     regions = [
         Region(
             page=r["pageNumber"],
@@ -66,6 +71,8 @@ def load_plan(file_path: str) -> tuple[str, list[Region]]:
             rule_pattern=r.get("rulePattern"),
             rotation=r.get("pageRotation", 0),
         )
-        for r in data["regions"]
+        # Missing properties take the model defaults, like the C# plan's
+        # `Regions = new()` / `SourcePdfPath = string.Empty` initializers.
+        for r in data.get("regions") or []
     ]
-    return data["sourcePdfPath"], regions
+    return data.get("sourcePdfPath", ""), regions

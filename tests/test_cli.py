@@ -1,0 +1,95 @@
+"""CLI parity and plan-subcommand scale gates for jobs/redact_job.py.
+
+- Conflicting --fragment-aware/--no-fragment-aware must hard-exit(1) with
+  the reference's error text (PlanCommand.cs:133-137 /
+  RedactCommand.cs:144-148) — round-1 parity gap.
+- The `plan` subcommand's console summary must derive from the MATERIALIZED
+  plan JSON, never from the live region lineage (which would re-run the
+  Python locate stage — BENCH/BASELINE.md finding #1).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+JOB = str(REPO / "jobs" / "redact_job.py")
+ENV = {**os.environ, "PYTHONPATH": str(REPO)}
+
+
+def _load_job_module():
+    spec = importlib.util.spec_from_file_location("redact_job", JOB)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("cmd", ["plan", "redact"])
+def test_conflicting_fragment_flags_exit_1(cmd):
+    extra = ["-o", "/tmp/x-out"] if cmd != "apply" else []
+    proc = subprocess.run(
+        [sys.executable, JOB, cmd, "-i", "/tmp/x-in", *extra,
+         "-p", "foo", "--fragment-aware", "--no-fragment-aware"],
+        capture_output=True, text=True, timeout=60, cwd=str(REPO), env=ENV,
+    )
+    assert proc.returncode == 1
+    assert "Cannot specify both --fragment-aware and --no-fragment-aware" in proc.stderr
+
+
+def test_conflict_exits_before_spark_starts():
+    # The hard-exit happens during argument validation; no session spin-up.
+    proc = subprocess.run(
+        [sys.executable, JOB, "plan", "-i", "/tmp/x-in", "-o", "/tmp/x-out",
+         "-p", "foo", "--fragment-aware", "--no-fragment-aware"],
+        capture_output=True, text=True, timeout=60, cwd=str(REPO), env=ENV,
+    )
+    assert proc.returncode == 1
+    assert "SparkSession" not in proc.stderr
+
+
+def test_plan_summary_reads_materialized_json(spark, tmp_path, monkeypatch, capsys):
+    """The summary DataFrame handed to print_summary must scan the written
+    plan JSON (single locate execution), not contain the Python map stage."""
+    from pdfredact_spark.fixtures import corpus
+    from pdfredact_spark.pipeline import docs_to_df
+
+    docs_path = str(tmp_path / "docs")
+    docs_to_df(spark, corpus(6, mega_every=0)).write.parquet(docs_path)
+    out_path = str(tmp_path / "plans")
+
+    mod = _load_job_module()
+    captured = {}
+    real_print_summary = mod.print_summary
+
+    def spy(summary_df):
+        captured["plan"] = summary_df._jdf.queryExecution().executedPlan().toString()
+        real_print_summary(summary_df)
+
+    monkeypatch.setattr(mod, "print_summary", spy)
+    monkeypatch.setattr(
+        "pdfredact_spark.session.get_spark", lambda **kw: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["redact_job.py", "plan", "-i", docs_path, "-o", out_path,
+         "-p", r"\d{3}-\d{2}-\d{4}", "--regex"],
+    )
+    mod.main()
+
+    plan_str = captured["plan"]
+    assert "MapInPandas" not in plan_str and "PythonMap" not in plan_str, (
+        "plan-subcommand summary recomputes the Python locate stage:\n" + plan_str
+    )
+    assert "json" in plan_str.lower(), plan_str
+    out = capsys.readouterr().out
+    assert "Creating redaction plan for" in out
+    assert "Mode: Regex" in out
+    assert "Fragment-aware: auto-detect (enabled for numeric patterns)" in out
+    assert "region(s) to redact" in out

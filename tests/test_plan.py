@@ -50,3 +50,22 @@ def test_empty_path_raises():
 def test_total_redactions_count():  # RedactionModelTests.cs:7-27
     assert plan_to_dict("d", [])["totalRedactions"] == 0
     assert plan_to_dict("d", [])["regions"] == []
+
+
+def test_null_json_raises_clean_error(tmp_path):
+    # RedactionPlanSerializer.cs:75-79: a JSON `null` deserializes to no
+    # plan -> InvalidOperationException("Failed to deserialize..."), never a
+    # raw KeyError.
+    path = str(tmp_path / "null.json")
+    open(path, "w").write("null")
+    with pytest.raises(ValueError, match="Failed to deserialize"):
+        load_plan(path)
+
+
+def test_missing_properties_take_model_defaults(tmp_path):
+    # C# model initializers: Regions = new(), SourcePdfPath = string.Empty.
+    path = str(tmp_path / "bare.json")
+    open(path, "w").write("{}")
+    doc_id, regions = load_plan(path)
+    assert doc_id == ""
+    assert regions == []
