@@ -91,3 +91,15 @@ def test_bucket_partition_pruning(spark, tmp_path):
     plan = plan_of(df)
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
     assert df.count() > 0
+
+
+def test_dedup_embedding_cosine_no_bnlj(spark):
+    """The near-dup pair finder must stay a banded-LSH equi-join: an
+    all-pairs BroadcastNestedLoopJoin is the O(n^2) scale-killer the
+    round-1 review flagged."""
+    from pdfredact_spark.queries import SQL_QUERIES
+
+    df = SQL_QUERIES["dedup_embedding_cosine"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
