@@ -4,9 +4,17 @@ Exact-semantics re-creation of the reference's locate/apply algorithms over
 the span data model. Every function cites the reference behavior it
 reproduces (file:line into /root/reference/). These kernels are unit-tested
 as plain Python (tests/test_kernel.py ports the 16 reference xUnit facts)
-and are then invoked batch-at-a-time from Arrow-vectorized ``mapInPandas``
+and are then invoked batch-at-a-time from Arrow-vectorized ``mapInArrow``
 / ``applyInPandas`` stages in pipeline.py — there is no Spark
 row-at-a-time Python anywhere.
+
+Data layout: the core consumes a document as FLAT PARALLEL ARRAYS
+(kinds/texts/refs/offsets — the ``*_cols`` entry points), which lets the
+Spark stage feed it directly from Arrow child arrays without materializing
+a dict per span (measured: pandas/dict conversion was ~50% of a noop
+redaction pass at local[8] — BENCH/BASELINE.md round-2 lever #1). The
+dict-based wrappers (``redact_document``, ``locate_document``,
+``apply_plan``) keep the original API for tests and small callers.
 
 Semantics notes (documented deviations, all fixture-consistent):
 
@@ -101,35 +109,66 @@ class PageCtx:
 
 
 # ---------------------------------------------------------------------------
+# Columnar span representation
+# ---------------------------------------------------------------------------
+def cols_from_spans(spans: list[dict]) -> tuple[list, list, list, list]:
+    """Span dicts -> flat parallel arrays (kinds, texts, refs, offsets)."""
+    return (
+        [s["kind"] for s in spans],
+        [s["text"] for s in spans],
+        [s["media_ref"] for s in spans],
+        [s["offset"] for s in spans],
+    )
+
+
+def spans_from_cols(kinds: list, texts: list, refs: list, offsets: list) -> list[dict]:
+    """Flat parallel arrays -> span dicts (wrapper-API output shape)."""
+    return [
+        {"kind": k, "text": t, "media_ref": r, "offset": o}
+        for k, t, r, o in zip(kinds, texts, refs, offsets)
+    ]
+
+
+# ---------------------------------------------------------------------------
 # Page splitting
 # ---------------------------------------------------------------------------
-def split_pages(spans: list[dict]) -> list[PageCtx]:
+def split_pages_cols(kinds: list, texts: list, offsets: list) -> list[PageCtx]:
     """Group a doc's spans into pages by offset band (FIXTURES.md §2:
     page band = offset // 200_000_000; marker spans kind='page' open pages).
     Docs without markers get implicit pages with default US-Letter bounds.
     """
     pages: dict[int, PageCtx] = {}
-    for i, s in enumerate(spans):
-        band = s["offset"] // PAGE_BASE
+    for i, off in enumerate(offsets):
+        band = off // PAGE_BASE
         number = band if band >= 1 else 1
         ctx = pages.get(band)
         if ctx is None:
             ctx = PageCtx(number, 0, DEFAULT_PAGE_W, DEFAULT_PAGE_H, None)
             pages[band] = ctx
-        if s["kind"] == "page":
-            num, rot, w, h = parse_page_marker(s["text"])
+        kind = kinds[i]
+        if kind == "page":
+            num, rot, w, h = parse_page_marker(texts[i])
             ctx.number, ctx.rotation, ctx.width, ctx.height = num, rot, w, h
             ctx.marker_idx = i
-        elif s["kind"] == "text":
+        elif kind == "text":
             ctx.text_idx.append(i)
         else:
             ctx.other_idx.append(i)
     return [pages[b] for b in sorted(pages)]
 
 
-def _span_geom(span: dict, page_h: float) -> tuple[int, float, float, float]:
+def split_pages(spans: list[dict]) -> list[PageCtx]:
+    """Dict-API wrapper over :func:`split_pages_cols`."""
+    return split_pages_cols(
+        [s["kind"] for s in spans],
+        [s["text"] for s in spans],
+        [s["offset"] for s in spans],
+    )
+
+
+def _offset_geom(offset: int, page_h: float) -> tuple[int, float, float, float]:
     """-> (row, x0, top, bottom) of the span's first glyph cell."""
-    rem = span["offset"] % PAGE_BASE
+    rem = offset % PAGE_BASE
     row = rem // ROW_BASE
     x0 = (rem % ROW_BASE) / DECI
     top = row_top(row, page_h)
@@ -139,16 +178,17 @@ def _span_geom(span: dict, page_h: float) -> tuple[int, float, float, float]:
 # ---------------------------------------------------------------------------
 # Word / letter extraction
 # ---------------------------------------------------------------------------
-def extract_words(spans: list[dict], text_idx: list[int], page_h: float) -> list[Unit]:
+def extract_words(
+    texts: list, offsets: list, text_idx: list[int], page_h: float
+) -> list[Unit]:
     """Word scan analog of PdfPig page.GetWords() (PdfPigTextLocator.cs:106):
     words = maximal non-space character runs of each text span, bbox from the
     fixed glyph model. Sort: Bottom asc, then Left asc (the reference's
     bottom-up quirk, SURVEY.md S2)."""
     words: list[Unit] = []
     for si in text_idx:
-        span = spans[si]
-        _, x0, top, bottom = _span_geom(span, page_h)
-        for m in _WORD_RE.finditer(span["text"]):
+        _, x0, top, bottom = _offset_geom(offsets[si], page_h)
+        for m in _WORD_RE.finditer(texts[si]):
             i, j = m.span()
             words.append(
                 Unit(
@@ -165,16 +205,15 @@ def extract_words(spans: list[dict], text_idx: list[int], page_h: float) -> list
 
 
 def extract_letters(
-    spans: list[dict], text_idx: list[int], page_h: float
+    texts: list, offsets: list, text_idx: list[int], page_h: float
 ) -> list[tuple[str, float, float, float, float, int, int]]:
     """Letter scan analog of PdfPig page.Letters (PdfPigTextLocator.cs:485):
     one entry per drawn glyph -> (ch, left, right, bottom, top, span_idx,
     char_idx). Whitespace is layout, not a glyph."""
     letters = []
     for si in text_idx:
-        span = spans[si]
-        _, x0, top, bottom = _span_geom(span, page_h)
-        for k, ch in enumerate(span["text"]):
+        _, x0, top, bottom = _offset_geom(offsets[si], page_h)
+        for k, ch in enumerate(texts[si]):
             if ch in _WS:
                 continue
             left = x0 + GLYPH_W * k
@@ -408,13 +447,15 @@ def region_from_units(
 # ---------------------------------------------------------------------------
 # Locate (ProcessPage, PdfPigTextLocator.cs:54-132)
 # ---------------------------------------------------------------------------
-def locate_page(spans: list[dict], page: PageCtx, rules: list[Rule]) -> list[Region]:
+def locate_page(
+    texts: list, offsets: list, page: PageCtx, rules: list[Rule]
+) -> list[Region]:
     regions: list[Region] = []
     frag_rules = [r for r in rules if r.use_fragment_mode()]
     word_rules = [r for r in rules if not r.use_fragment_mode()]
 
     if frag_rules:
-        letters = extract_letters(spans, page.text_idx, page.height)
+        letters = extract_letters(texts, offsets, page.text_idx, page.height)
         tokens = tokenize_page(letters)
         text, starts, ends = build_search_text(tokens)
         for rule in frag_rules:
@@ -425,23 +466,23 @@ def locate_page(spans: list[dict], page: PageCtx, rules: list[Rule]) -> list[Reg
                         regions.append(region_from_units(page, group, m_text, rule.pattern))
 
     if word_rules:
-        fast = _locate_words_fast(spans, page, word_rules)
+        fast = _locate_words_fast(texts, offsets, page, word_rules)
         if fast is not None:
             regions.extend(fast)
         else:
-            regions.extend(_locate_words_general(spans, page, word_rules))
+            regions.extend(_locate_words_general(texts, offsets, page, word_rules))
 
     return regions
 
 
 def _locate_words_general(
-    spans: list[dict], page: PageCtx, word_rules: list[Rule]
+    texts: list, offsets: list, page: PageCtx, word_rules: list[Rule]
 ) -> list[Region]:
     """Unit-materializing word branch (the direct transcription of the
     reference flow); used when the fast path declines a page, and as the
     equivalence oracle for it in tests."""
     regions: list[Region] = []
-    words = extract_words(spans, page.text_idx, page.height)
+    words = extract_words(texts, offsets, page.text_idx, page.height)
     text, starts, ends = build_search_text(words)
     for rule in word_rules:
         for m_start, m_end, m_text in find_matches(text, rule):
@@ -453,7 +494,7 @@ def _locate_words_general(
 
 
 def _locate_words_fast(
-    spans: list[dict], page: PageCtx, word_rules: list[Rule]
+    texts: list, offsets: list, page: PageCtx, word_rules: list[Rule]
 ) -> list[Region] | None:
     """O(hits) word-branch: identical output to the unit-materializing path
     but without building per-word objects.
@@ -468,9 +509,8 @@ def _locate_words_fast(
     # Per-span geometry + normalized segment text, sorted by (bottom, left).
     segs = []  # (bottom, left, si, x0, top, t, norm, regular)
     for si in page.text_idx:
-        span = spans[si]
-        _, x0, top, bottom = _span_geom(span, page.height)
-        t = span["text"]
+        _, x0, top, bottom = _offset_geom(offsets[si], page.height)
+        t = texts[si]
         words = t.split()
         if not words:
             continue
@@ -575,15 +615,23 @@ def _locate_words_fast(
     return regions
 
 
-def locate_document(doc_id: str, spans: list[dict], rules: list[Rule]) -> list[Region]:
+def locate_document_cols(
+    doc_id: str, kinds: list, texts: list, offsets: list, rules: list[Rule]
+) -> list[Region]:
     """LocateText (PdfPigTextLocator.cs:20-52): empty rule set -> empty plan;
-    else per page in order."""
+    else per page in order. Columnar core."""
     if not rules:
         return []
     regions: list[Region] = []
-    for page in split_pages(spans):
-        regions.extend(locate_page(spans, page, rules))
+    for page in split_pages_cols(kinds, texts, offsets):
+        regions.extend(locate_page(texts, offsets, page, rules))
     return regions
+
+
+def locate_document(doc_id: str, spans: list[dict], rules: list[Rule]) -> list[Region]:
+    """Dict-API wrapper over :func:`locate_document_cols`."""
+    kinds, texts, _, offsets = cols_from_spans(spans)
+    return locate_document_cols(doc_id, kinds, texts, offsets, rules)
 
 
 # ---------------------------------------------------------------------------
@@ -593,58 +641,104 @@ class RotationError(Exception):
     """Fail-fast parity with PdfSharpMaskApplicator.cs:95-102."""
 
 
+def _sort_cols(
+    kinds: list, texts: list, refs: list, offsets: list
+) -> tuple[list, list, list, list]:
+    """Deterministic output order: (offset, kind, media_ref, text) — the
+    columnar equivalent of the wrapper API's dict sort."""
+    order = sorted(
+        range(len(offsets)), key=lambda i: (offsets[i], kinds[i], refs[i], texts[i])
+    )
+    return (
+        [kinds[i] for i in order],
+        [texts[i] for i in order],
+        [refs[i] for i in order],
+        [offsets[i] for i in order],
+    )
+
+
+def redact_document_cols(
+    doc_id: str,
+    kinds: list,
+    texts: list,
+    refs: list,
+    offsets: list,
+    rules: list[Rule],
+    flatten: bool = False,
+) -> tuple[list, list, list, list, list[Region], int]:
+    """Fused locate+apply (RedactCommand.cs:126-225 lifecycle), columnar
+    core: consumes/produces flat parallel arrays so the Spark stage can
+    feed it straight from Arrow child arrays (no per-span dicts).
+
+    Returns (kinds, texts, refs, offsets, regions, n_rule_hits) with the
+    output arrays sorted by (offset, kind, media_ref, text). Raises
+    RotationError when any region lands on a rotated page (the reference's
+    NotSupportedException). Zero regions -> output == input verbatim
+    (File.Copy pass-through, ApplyCommand.cs:65-69)."""
+    pages = split_pages_cols(kinds, texts, offsets)
+    if not rules:
+        regions: list[Region] = []
+    else:
+        regions = []
+        for page in pages:
+            regions.extend(locate_page(texts, offsets, page, rules))
+
+    if not regions and not flatten:
+        return list(kinds), list(texts), list(refs), list(offsets), [], 0
+
+    out = _apply_regions_cols(doc_id, kinds, texts, refs, offsets, regions)
+
+    if flatten:
+        # FLATTEN_MODE.md:4-11 / north_star flatten events: each page's
+        # content collapses to one image-only media span; page markers stay.
+        fk: list = []
+        ft: list = []
+        fr: list = []
+        fo: list = []
+        for page in pages:
+            mi = page.marker_idx
+            if mi is not None:
+                fk.append(kinds[mi])
+                ft.append(texts[mi])
+                fr.append(refs[mi])
+                fo.append(offsets[mi])
+            band = max(page.number, 1)
+            fk.append("media")
+            ft.append("")
+            fr.append(f"flat:{doc_id}:{page.number}")
+            fo.append(int(band * PAGE_BASE + 1))
+        out = (fk, ft, fr, fo)
+
+    k, t, r, o = _sort_cols(*out)
+    return k, t, r, o, regions, len(regions)
+
+
 def redact_document(
     doc_id: str,
     spans: list[dict],
     rules: list[Rule],
     flatten: bool = False,
 ) -> tuple[list[dict], list[Region], int]:
-    """Fused locate+apply (RedactCommand.cs:126-225 lifecycle).
-
-    Returns (output spans sorted by offset, regions, n_rule_hits).
-    Raises RotationError when any region lands on a rotated page (the
-    reference's NotSupportedException). Zero regions -> output == input
-    verbatim (File.Copy pass-through, ApplyCommand.cs:65-69)."""
-    pages = split_pages(spans)
-    if not rules:
-        regions: list[Region] = []
-    else:
-        regions = []
-        for page in pages:
-            regions.extend(locate_page(spans, page, rules))
-
-    if not regions and not flatten:
-        return list(spans), [], 0
-
-    out = _apply_regions(doc_id, spans, regions)
-
-    if flatten:
-        # FLATTEN_MODE.md:4-11 / north_star flatten events: each page's
-        # content collapses to one image-only media span; page markers stay.
-        flat: list[dict] = []
-        for page in pages:
-            if page.marker_idx is not None:
-                flat.append(spans[page.marker_idx])
-            band = max(page.number, 1)
-            flat.append(
-                {
-                    "kind": "media",
-                    "text": "",
-                    "media_ref": f"flat:{doc_id}:{page.number}",
-                    "offset": int(band * PAGE_BASE + 1),
-                }
-            )
-        out = flat
-
-    out.sort(key=lambda s: (s["offset"], s["kind"], s["media_ref"], s["text"]))
-    return out, regions, len(regions)
+    """Dict-API wrapper over :func:`redact_document_cols`."""
+    kinds, texts, refs, offsets = cols_from_spans(spans)
+    k, t, r, o, regions, hits = redact_document_cols(
+        doc_id, kinds, texts, refs, offsets, rules, flatten
+    )
+    return spans_from_cols(k, t, r, o), regions, hits
 
 
-def _apply_regions(doc_id: str, spans: list[dict], regions: list[Region]) -> list[dict]:
+def _apply_regions_cols(
+    doc_id: str,
+    kinds: list,
+    texts: list,
+    refs: list,
+    offsets: list,
+    regions: list[Region],
+) -> tuple[list, list, list, list]:
     """Mask application core (PdfSharpMaskApplicator.cs:48-126 in span
     space): rotation fail-fast, deterministic W6 apply order (page asc,
     Y desc, X asc) -> mask sequence ids, covered-glyph removal + span
-    splicing."""
+    splicing. Columnar in/out."""
     for r in regions:
         if r.rotation != 0:
             raise RotationError(
@@ -656,14 +750,15 @@ def _apply_regions(doc_id: str, spans: list[dict], regions: list[Region]) -> lis
         by_page.setdefault(r.page, []).append(r)
 
     covered: dict[int, list] = {}  # span_idx -> covered [start, end) ranges
-    mask_spans: list[dict] = []
+    mask_refs: list = []
+    mask_offs: list = []
     for page_num in sorted(by_page):
         ordered = sorted(by_page[page_num], key=lambda r: (-r.y, r.x))
         for seq, r in enumerate(ordered, start=1):
             min_off = None
             for si, a, b in r.chars:
                 covered.setdefault(si, []).append((a, b))
-                off = spans[si]["offset"] + GLYPH_STRIDE * a
+                off = offsets[si] + GLYPH_STRIDE * a
                 if min_off is None or off < min_off:
                     min_off = off
             if min_off is None:
@@ -673,25 +768,25 @@ def _apply_regions(doc_id: str, spans: list[dict], regions: list[Region]) -> lis
                 band = max(page_num, 1)
                 row = max(0, round((DEFAULT_PAGE_H - TOP_MARGIN - (r.y + r.height)) / ROW_PITCH))
                 min_off = band * PAGE_BASE + row * ROW_BASE + int(round(DECI * r.x))
-            mask_spans.append(
-                {
-                    "kind": "mask",
-                    "text": "",
-                    "media_ref": f"mask:{doc_id}:{page_num}:{seq}",
-                    "offset": int(min_off),
-                }
-            )
+            mask_refs.append(f"mask:{doc_id}:{page_num}:{seq}")
+            mask_offs.append(int(min_off))
 
-    out: list[dict] = []
-    for si, s in enumerate(spans):
+    ok: list = []
+    ot: list = []
+    orf: list = []
+    oo: list = []
+    for si in range(len(kinds)):
         ivs = covered.get(si)
         if not ivs:
-            out.append(s)
+            ok.append(kinds[si])
+            ot.append(texts[si])
+            orf.append(refs[si])
+            oo.append(offsets[si])
             continue
         # Merge covered intervals, complement them into surviving runs,
         # strip whitespace dangling at cut boundaries, shift offsets per
         # glyph cell — all O(intervals), not O(glyphs).
-        text = s["text"]
+        text = texts[si]
         ivs.sort()
         merged: list[list[int]] = []
         for a, b in ivs:
@@ -715,21 +810,25 @@ def _apply_regions(doc_id: str, spans: list[dict], regions: list[Region]) -> lis
                 b -= 1
             if a == b:
                 continue
-            out.append(
-                {
-                    "kind": "text",
-                    "text": text[a:b],
-                    "media_ref": s["media_ref"],
-                    "offset": int(s["offset"] + GLYPH_STRIDE * a),
-                }
-            )
-    out.extend(mask_spans)
-    return out
+            ok.append("text")
+            ot.append(text[a:b])
+            orf.append(refs[si])
+            oo.append(int(offsets[si] + GLYPH_STRIDE * a))
+    ok.extend(["mask"] * len(mask_refs))
+    ot.extend([""] * len(mask_refs))
+    orf.extend(mask_refs)
+    oo.extend(mask_offs)
+    return ok, ot, orf, oo
 
 
-def apply_plan(
-    doc_id: str, spans: list[dict], regions: list[Region]
-) -> tuple[list[dict], int]:
+def apply_plan_cols(
+    doc_id: str,
+    kinds: list,
+    texts: list,
+    refs: list,
+    offsets: list,
+    regions: list[Region],
+) -> tuple[list, list, list, list, int]:
     """Decoupled mask application from a saved plan (the reference `apply`
     command, ApplyCommand.cs:58-73 -> PdfSharpMaskApplicator.cs:20-82).
 
@@ -743,14 +842,14 @@ def apply_plan(
 
     Out-of-range pages are silently skipped (P5,
     PdfSharpMaskApplicator.cs:57-60); zero regions -> verbatim copy
-    (ApplyCommand.cs:65-69). Returns (output spans, n_regions_applied).
+    (ApplyCommand.cs:65-69). Returns (kinds, texts, refs, offsets,
+    n_regions_applied) sorted by (offset, kind, media_ref, text).
     """
     if not regions:
-        return sorted(
-            spans, key=lambda s: (s["offset"], s["kind"], s["media_ref"], s["text"])
-        ), 0
+        k, t, r, o = _sort_cols(kinds, texts, refs, offsets)
+        return k, t, r, o, 0
 
-    pages = {p.number: p for p in split_pages(spans)}
+    pages = {p.number: p for p in split_pages_cols(kinds, texts, offsets)}
     applied: list[Region] = []
     for r in regions:
         page = pages.get(r.page)
@@ -758,7 +857,7 @@ def apply_plan(
             continue  # P5: silently skip out-of-range pages
         chars = []
         for ch, left, right, bottom, top, si, ci in extract_letters(
-            spans, page.text_idx, page.height
+            texts, offsets, page.text_idx, page.height
         ):
             if (
                 right > r.x
@@ -775,6 +874,15 @@ def apply_plan(
             )
         )
 
-    out = _apply_regions(doc_id, spans, applied)
-    out.sort(key=lambda s: (s["offset"], s["kind"], s["media_ref"], s["text"]))
-    return out, len(applied)
+    out = _apply_regions_cols(doc_id, kinds, texts, refs, offsets, applied)
+    k, t, rf, o = _sort_cols(*out)
+    return k, t, rf, o, len(applied)
+
+
+def apply_plan(
+    doc_id: str, spans: list[dict], regions: list[Region]
+) -> tuple[list[dict], int]:
+    """Dict-API wrapper over :func:`apply_plan_cols`."""
+    kinds, texts, refs, offsets = cols_from_spans(spans)
+    k, t, r, o, n = apply_plan_cols(doc_id, kinds, texts, refs, offsets, regions)
+    return spans_from_cols(k, t, r, o), n

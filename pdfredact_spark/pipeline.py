@@ -5,15 +5,18 @@ Plan shape, arrived at by measurement (see BENCH/BASELINE.md):
 DEFAULT (zero-shuffle): every input row is already a complete document, so
 the fused locate+apply runs as
 
-    parquet scan -> mapInPandas doc-batch redactor -> sink
+    parquet scan -> mapInArrow doc-batch redactor -> sink
 
 one narrow, fully pipelined stage: no shuffle, no reassembly (the kernel
 emits finished offset-sorted span sequences per doc), no per-group Python
-call overhead (one call per Arrow batch of docs). Parallelism comes from
-input splits — keep the table written with enough files/row-groups
-(corpus generation uses 128 partitions). A mega document runs inside one
-task (pages loop in the kernel); the int32 offset encoding bounds a doc
-at ~100k spans, bounding the straggler.
+call overhead (one call per Arrow batch of docs), and no pandas block
+conversion on either edge — the kernel consumes the Arrow child arrays as
+flat parallel lists (kinds/texts/refs/offsets) and its output lists become
+Arrow child arrays directly. Parallelism comes from input splits — keep
+the table written with enough files/row-groups (corpus generation uses 128
+partitions). A mega document runs inside one task (pages loop in the
+kernel); the int32 offset encoding bounds a doc at ~100k spans, bounding
+the straggler.
 
 MEGA-SPLIT option (``mega_split=True``) for corpora with pathological
 giants: oversized docs explode to flat spans and fan out per PAGE (offset
@@ -36,7 +39,10 @@ SURVEY.md J1).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -49,7 +55,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pdfredact_spark.kernel import RotationError, locate_document, redact_document
+from pdfredact_spark.kernel import (
+    RotationError,
+    locate_document,
+    locate_document_cols,
+    redact_document,
+    redact_document_cols,
+)
 from pdfredact_spark.model import (
     DOC_SCHEMA,
     PAGE_BASE,
@@ -94,37 +106,94 @@ def _num_partitions(df: DataFrame, requested: int | None) -> int:
     return df.sparkSession.sparkContext.defaultParallelism * 4
 
 
-def _make_doc_map(rules: list[Rule], flatten: bool):
-    """Doc-batch redactor: one Python call per Arrow batch of complete
-    documents; kernel output is already per-doc sorted."""
+def _span_batch_cols(rb):
+    """Decompose an Arrow record batch's (doc_id, spans) into flat parallel
+    child arrays + per-doc offset ranges — NO per-span Python dicts and no
+    pandas block conversion (measured ~2.7s of a 5.5s noop at local[8] on
+    the 100k corpus; BENCH/BASELINE.md round-2 lever #1).
 
-    def fn(batches):
-        for pdf in batches:
-            doc_ids, spans_out, hits, errs = [], [], [], []
-            for d, sp in zip(pdf["doc_id"], pdf["spans"]):
+    ``ListArray.offsets`` are absolute indices into ``.values`` even for
+    sliced arrays, so (offsets[i], offsets[i+1]) ranges stay correct."""
+    doc_ids = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
+    spans_col = rb.column(rb.schema.get_field_index("spans"))
+    bounds = spans_col.offsets.to_pylist()
+    flat = spans_col.values
+    # A sliced ListArray's .values is the FULL underlying buffer; trim to
+    # this batch's range or to_pylist() converts the whole parent array
+    # (measured 3x redundant conversion on re-batched tables).
+    base, end = bounds[0], bounds[-1]
+    if base != 0 or end != len(flat):
+        flat = flat.slice(base, end - base)
+        bounds = [x - base for x in bounds]
+    kinds = flat.field("kind").to_pylist()
+    texts = flat.field("text").to_pylist()
+    refs = flat.field("media_ref").to_pylist()
+    offs = flat.field("offset").to_pylist()
+    return doc_ids, bounds, kinds, texts, refs, offs
+
+
+def _make_doc_map_arrow(rules: list[Rule], flatten: bool):
+    """Doc-batch redactor over raw Arrow batches: one Python call per batch
+    of complete documents, kernel fed with flat parallel arrays and output
+    rebuilt as Arrow child arrays directly."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            doc_ids, bounds, kinds, texts, refs, offs = _span_batch_cols(rb)
+            out_k: list = []
+            out_t: list = []
+            out_r: list = []
+            out_o: list = []
+            # per-row list-start offsets; None marks a null (errored) row —
+            # pyarrow's null-offset convention for ListArray.from_arrays
+            starts: list = []
+            hits: list = []
+            errs: list = []
+            for i, d in enumerate(doc_ids):
+                a, b = bounds[i], bounds[i + 1]
                 try:
-                    out, _, h = redact_document(d, list(sp), rules, flatten=flatten)
-                    spans_out.append(out)
+                    k, t, r, o, _, h = redact_document_cols(
+                        d, kinds[a:b], texts[a:b], refs[a:b], offs[a:b],
+                        rules, flatten=flatten,
+                    )
+                    starts.append(len(out_k))
+                    out_k += k
+                    out_t += t
+                    out_r += r
+                    out_o += o
                     hits.append(h)
                     errs.append(None)
                 except RotationError as e:
-                    spans_out.append(None)
+                    starts.append(None)
                     hits.append(0)
                     errs.append(str(e))
                 except Exception as e:  # noqa: BLE001 — malformed documents
                     # A 10^12-doc corpus WILL contain garbage rows; route
                     # them to the error output instead of failing the job.
-                    spans_out.append(None)
+                    starts.append(None)
                     hits.append(0)
                     errs.append(f"{type(e).__name__}: {e}")
-                doc_ids.append(d)
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids,
-                    "spans": spans_out,
-                    "n_rule_hits": hits,
-                    "error": errs,
-                }
+            starts.append(len(out_k))
+            struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(out_k, type=pa.string()),
+                    pa.array(out_t, type=pa.string()),
+                    pa.array(out_r, type=pa.string()),
+                    pa.array(out_o, type=pa.int32()),
+                ],
+                names=["kind", "text", "media_ref", "offset"],
+            )
+            spans_arr = pa.ListArray.from_arrays(
+                pa.array(starts, type=pa.int32()), struct
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, type=pa.string()),
+                    spans_arr,
+                    pa.array(hits, type=pa.int64()),
+                    pa.array(errs, type=pa.string()),
+                ],
+                names=["doc_id", "spans", "n_rule_hits", "error"],
             )
 
     return fn
@@ -200,11 +269,11 @@ def redact_full(
             F.lit(None).cast("string").alias("error"),
         )
 
-    doc_map = _make_doc_map(rules, flatten)
+    doc_map = _make_doc_map_arrow(rules, flatten)
     if not mega_split:
         if num_partitions:
             df = df.repartition(num_partitions)
-        return df.mapInPandas(doc_map, schema=REDACTED_SCHEMA)
+        return df.mapInArrow(doc_map, schema=REDACTED_SCHEMA)
 
     P = _num_partitions(df, num_partitions)
     is_mega = F.size("spans") > MEGA_SPAN_THRESHOLD
@@ -212,7 +281,7 @@ def redact_full(
     small_out = (
         df.where(~is_mega)
         .repartition(P, "doc_id")
-        .mapInPandas(doc_map, schema=REDACTED_SCHEMA)
+        .mapInArrow(doc_map, schema=REDACTED_SCHEMA)
     )
 
     # Mega path: explode -> per-page fan-out -> JVM reassembly.
@@ -302,23 +371,42 @@ def locate_regions(
     if not rules:
         return spark.createDataFrame([], schema=REGION_SCHEMA)
 
-    def fn(batches):
-        for pdf in batches:
-            rows = []
-            for d, sp in zip(pdf["doc_id"], pdf["spans"]):
-                for r in locate_document(d, list(sp), rules):
-                    rows.append(
-                        (d, r.page, r.x, r.y, r.width, r.height,
-                         r.matched_text, r.rule_pattern, r.rotation)
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "page", "x", "y", "width", "height",
-                         "matched_text", "rule_pattern", "page_rotation"],
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            doc_ids, bounds, kinds, texts, refs, offs = _span_batch_cols(rb)
+            c_d, c_p, c_x, c_y, c_w, c_h, c_mt, c_rp, c_rot = (
+                [], [], [], [], [], [], [], [], []
+            )
+            for i, d in enumerate(doc_ids):
+                a, b = bounds[i], bounds[i + 1]
+                for r in locate_document_cols(d, kinds[a:b], texts[a:b], offs[a:b], rules):
+                    c_d.append(d)
+                    c_p.append(r.page)
+                    c_x.append(r.x)
+                    c_y.append(r.y)
+                    c_w.append(r.width)
+                    c_h.append(r.height)
+                    c_mt.append(r.matched_text)
+                    c_rp.append(r.rule_pattern)
+                    c_rot.append(r.rotation)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(c_d, type=pa.string()),
+                    pa.array(c_p, type=pa.int32()),
+                    pa.array(c_x, type=pa.float64()),
+                    pa.array(c_y, type=pa.float64()),
+                    pa.array(c_w, type=pa.float64()),
+                    pa.array(c_h, type=pa.float64()),
+                    pa.array(c_mt, type=pa.string()),
+                    pa.array(c_rp, type=pa.string()),
+                    pa.array(c_rot, type=pa.int32()),
+                ],
+                names=["doc_id", "page", "x", "y", "width", "height",
+                       "matched_text", "rule_pattern", "page_rotation"],
             )
 
     P = _num_partitions(df, num_partitions)
-    return df.repartition(P, "doc_id").mapInPandas(fn, schema=REGION_SCHEMA)
+    return df.repartition(P, "doc_id").mapInArrow(fn, schema=REGION_SCHEMA)
 
 
 def region_summary(regions: DataFrame) -> DataFrame:

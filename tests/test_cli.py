@@ -84,7 +84,7 @@ def test_plan_summary_reads_materialized_json(spark, tmp_path, monkeypatch, caps
     mod.main()
 
     plan_str = captured["plan"]
-    assert "MapInPandas" not in plan_str and "PythonMap" not in plan_str, (
+    assert not any(n in plan_str for n in ("MapInPandas", "MapInArrow", "PythonMap")), (
         "plan-subcommand summary recomputes the Python locate stage:\n" + plan_str
     )
     assert "json" in plan_str.lower(), plan_str

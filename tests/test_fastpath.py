@@ -80,10 +80,16 @@ def test_fast_equals_general(di, ri, monkeypatch):
     assert kf == kg
 
 
+def _cols(doc):
+    _, texts, _, offsets = K.cols_from_spans(doc["spans"])
+    return texts, offsets
+
+
 def test_overlap_page_declines_fast_path():
     doc = DOCS[-1]
     pg = K.split_pages(doc["spans"])[0]
-    assert K._locate_words_fast(doc["spans"], pg, [Rule("aaaa")]) is None
+    texts, offsets = _cols(doc)
+    assert K._locate_words_fast(texts, offsets, pg, [Rule("aaaa")]) is None
 
 
 def test_space_boundary_covers_following_word_only():
@@ -92,13 +98,15 @@ def test_space_boundary_covers_following_word_only():
     doc = {"doc_id": "ws-1", "spans": [page_span(1), text_span(1, 0, 72.0, "ab cd")]}
     pg = K.split_pages(doc["spans"])[0]
     for rule in [Rule(" cd"), Rule(" cd", is_regex=True)]:
-        fast = K._locate_words_fast(doc["spans"], pg, [rule])
-        gen = K._locate_words_general(doc["spans"], pg, [rule])
+        texts, offsets = _cols(doc)
+        fast = K._locate_words_fast(texts, offsets, pg, [rule])
+        gen = K._locate_words_general(texts, offsets, pg, [rule])
         assert [(r.x, r.width, r.matched_text) for r in fast] == [
             (r.x, r.width, r.matched_text) for r in gen
         ]
         assert fast[0].matched_text == " cd"
         assert abs(fast[0].x - gen[0].x) < 1e-9
     for rule in [Rule(" ", is_regex=True), Rule(r"\s", is_regex=True)]:
-        assert K._locate_words_fast(doc["spans"], pg, [rule]) == []
-        assert K._locate_words_general(doc["spans"], pg, [rule]) == []
+        texts, offsets = _cols(doc)
+        assert K._locate_words_fast(texts, offsets, pg, [rule]) == []
+        assert K._locate_words_general(texts, offsets, pg, [rule]) == []

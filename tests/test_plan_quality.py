@@ -56,7 +56,7 @@ def test_default_redact_plan_is_shuffle_free(spark):
     docs = docs_to_df(spark, corpus(8)).where(F.lit(True))
     out = redact_full(docs, [SSN_RULE])
     plan = plan_of(out)
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan  # Arrow-native stage, no pandas conversion
     assert "Exchange" not in plan, plan
 
 
@@ -66,8 +66,8 @@ def test_mega_split_only_shuffles_mega_slice(spark):
     plan = plan_of(out)
     # mega path exists (exchange for page fan-out + reassembly)...
     assert "Exchange" in plan
-    # ...but the small-doc branch still reaches mapInPandas
-    assert "MapInPandas" in plan
+    # ...but the small-doc branch still reaches the Arrow map stage
+    assert "MapInArrow" in plan
 
 
 def test_whole_stage_codegen_on_sql_queries(spark):
