@@ -41,7 +41,6 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,9 +56,7 @@ from pyspark.sql.types import (
 
 from pdfredact_spark.kernel import (
     RotationError,
-    locate_document,
     locate_document_cols,
-    redact_document,
     redact_document_cols,
 )
 from pdfredact_spark.model import (
@@ -174,60 +171,71 @@ def _make_doc_map_arrow(rules: list[Rule], flatten: bool):
                     hits.append(0)
                     errs.append(f"{type(e).__name__}: {e}")
             starts.append(len(out_k))
-            struct = pa.StructArray.from_arrays(
-                [
-                    pa.array(out_k, type=pa.string()),
-                    pa.array(out_t, type=pa.string()),
-                    pa.array(out_r, type=pa.string()),
-                    pa.array(out_o, type=pa.int32()),
-                ],
-                names=["kind", "text", "media_ref", "offset"],
-            )
-            spans_arr = pa.ListArray.from_arrays(
-                pa.array(starts, type=pa.int32()), struct
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(doc_ids, type=pa.string()),
-                    spans_arr,
-                    pa.array(hits, type=pa.int64()),
-                    pa.array(errs, type=pa.string()),
-                ],
-                names=["doc_id", "spans", "n_rule_hits", "error"],
-            )
+            yield _build_redacted_batch(doc_ids, out_k, out_t, out_r, out_o, starts, hits, errs)
 
     return fn
 
 
-def _make_page_apply(rules: list[Rule], flatten: bool):
-    """Page-grain redactor for mega docs (applyInPandas per (doc, band))."""
+def _build_redacted_batch(doc_ids, out_k, out_t, out_r, out_o, starts, hits, errs):
+    """Assemble a REDACTED_SCHEMA Arrow batch from flat output arrays +
+    per-row list starts (None start = null spans for that errored row)."""
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(out_k, type=pa.string()),
+            pa.array(out_t, type=pa.string()),
+            pa.array(out_r, type=pa.string()),
+            pa.array(out_o, type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans_arr = pa.ListArray.from_arrays(pa.array(starts, type=pa.int32()), struct)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(doc_ids, type=pa.string()),
+            spans_arr,
+            pa.array(hits, type=pa.int64()),
+            pa.array(errs, type=pa.string()),
+        ],
+        names=["doc_id", "spans", "n_rule_hits", "error"],
+    )
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        doc_id = key[0]
-        spans = pdf[["kind", "text", "media_ref", "offset"]].to_dict("records")
+
+def _make_page_apply(rules: list[Rule], flatten: bool):
+    """Page-grain redactor for mega docs (applyInArrow per (doc, band)):
+    the group's flat rows feed the columnar kernel directly, no pandas."""
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        doc_id = tbl.column("doc_id")[0].as_py()
+        kinds = tbl.column("kind").to_pylist()
+        texts = tbl.column("text").to_pylist()
+        refs = tbl.column("media_ref").to_pylist()
+        offs = tbl.column("offset").to_pylist()
         try:
-            out, _, h = redact_document(doc_id, spans, rules, flatten=flatten)
-        except RotationError as e:
-            return pd.DataFrame(
-                [
-                    {
-                        "doc_id": doc_id,
-                        "kind": "__error__",
-                        "text": str(e),
-                        "media_ref": "",
-                        "offset": 0,
-                        "n_hits": 0,
-                    }
-                ]
+            k, t, r, o, _, h = redact_document_cols(
+                doc_id, kinds, texts, refs, offs, rules, flatten=flatten
             )
-        res = pd.DataFrame(out) if out else pd.DataFrame(
-            columns=["kind", "text", "media_ref", "offset"]
+        except RotationError as e:
+            return pa.table(
+                {
+                    "doc_id": pa.array([doc_id], type=pa.string()),
+                    "kind": pa.array(["__error__"], type=pa.string()),
+                    "text": pa.array([str(e)], type=pa.string()),
+                    "media_ref": pa.array([""], type=pa.string()),
+                    "offset": pa.array([0], type=pa.int32()),
+                    "n_hits": pa.array([0], type=pa.int32()),
+                }
+            )
+        n = len(k)
+        return pa.table(
+            {
+                "doc_id": pa.array([doc_id] * n, type=pa.string()),
+                "kind": pa.array(k, type=pa.string()),
+                "text": pa.array(t, type=pa.string()),
+                "media_ref": pa.array(r, type=pa.string()),
+                "offset": pa.array(o, type=pa.int32()),
+                "n_hits": pa.array([h] + [0] * (n - 1) if n else [], type=pa.int32()),
+            }
         )
-        res["doc_id"] = doc_id
-        res["n_hits"] = 0
-        if len(res):
-            res.loc[res.index[0], "n_hits"] = h
-        return res[["doc_id", "kind", "text", "media_ref", "offset", "n_hits"]]
 
     return fn
 
@@ -294,7 +302,7 @@ def redact_full(
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
     )
-    page_out = flat.groupBy("doc_id", "band").applyInPandas(
+    page_out = flat.groupBy("doc_id", "band").applyInArrow(
         _make_page_apply(rules, flatten), schema=_FLAT_PAGE_OUT
     )
     err_col = F.max(F.when(F.col("kind") == "__error__", F.col("text"))).alias("error")
@@ -489,7 +497,7 @@ def apply_plans(docs: DataFrame, plans: DataFrame) -> tuple[DataFrame, DataFrame
     verbatim (S7 pass-through). Plans are per-doc small — AQE broadcasts
     the side that qualifies."""
     from pdfredact_spark.kernel import Region as KRegion
-    from pdfredact_spark.kernel import apply_plan as k_apply
+    from pdfredact_spark.kernel import apply_plan_cols
 
     joined = docs.join(
         plans.select(
@@ -499,10 +507,21 @@ def apply_plans(docs: DataFrame, plans: DataFrame) -> tuple[DataFrame, DataFrame
         "left",
     )
 
-    def fn(batches):
-        for pdf in batches:
-            doc_ids, spans_out, hits, errs = [], [], [], []
-            for d, sp, regs in zip(pdf["doc_id"], pdf["spans"], pdf["plan_regions"]):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            doc_ids, bounds, kinds, texts, refs, offs = _span_batch_cols(rb)
+            # Plans are per-doc tiny (a handful of regions); a plain
+            # to_pylist of the (mostly-null) list column is fine here.
+            plan_lists = rb.column(rb.schema.get_field_index("plan_regions")).to_pylist()
+            out_k: list = []
+            out_t: list = []
+            out_r: list = []
+            out_o: list = []
+            starts: list = []
+            hits: list = []
+            errs: list = []
+            for i, d in enumerate(doc_ids):
+                a, b = bounds[i], bounds[i + 1]
                 regions = [
                     KRegion(
                         page=r["pageNumber"], x=r["x"], y=r["y"],
@@ -510,28 +529,27 @@ def apply_plans(docs: DataFrame, plans: DataFrame) -> tuple[DataFrame, DataFrame
                         matched_text=r["matchedText"], rule_pattern=r["rulePattern"],
                         rotation=r["pageRotation"],
                     )
-                    for r in (regs if regs is not None else [])
+                    for r in (plan_lists[i] or [])
                 ]
                 try:
-                    out, n = k_apply(d, list(sp), regions)
-                    spans_out.append(out)
+                    k, t, r, o, n = apply_plan_cols(
+                        d, kinds[a:b], texts[a:b], refs[a:b], offs[a:b], regions
+                    )
+                    starts.append(len(out_k))
+                    out_k += k
+                    out_t += t
+                    out_r += r
+                    out_o += o
                     hits.append(n)
                     errs.append(None)
                 except RotationError as e:
-                    spans_out.append(None)
+                    starts.append(None)
                     hits.append(0)
                     errs.append(str(e))
-                doc_ids.append(d)
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids,
-                    "spans": spans_out,
-                    "n_rule_hits": hits,
-                    "error": errs,
-                }
-            )
+            starts.append(len(out_k))
+            yield _build_redacted_batch(doc_ids, out_k, out_t, out_r, out_o, starts, hits, errs)
 
-    full = joined.mapInPandas(fn, schema=REDACTED_SCHEMA)
+    full = joined.mapInArrow(fn, schema=REDACTED_SCHEMA)
     good = full.where(F.col("error").isNull()).select("doc_id", "spans")
     errors = full.where(F.col("error").isNotNull()).select("doc_id", "error")
     return good, errors
