@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "winnowing_fingerprints",
     "decontaminate_blocklist",
     "deterministic_sample",
+    "chunk_documents",
+    "repetition_filter",
+    "decontaminate_ngram_overlap",
 ]
 
 
