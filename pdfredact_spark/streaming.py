@@ -76,6 +76,67 @@ def run_incremental(
 
 
 # ---------------------------------------------------------------------------
+# Streaming exact dedup across ingestion waves
+# ---------------------------------------------------------------------------
+DOCS_TABLE_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def dedup_stream(spark: SparkSession, input_path: str, out_dir: str) -> int:
+    """Streaming exact dedup over a continuously-ingested documents table:
+    each micro-batch keeps one row per content fingerprint (min doc_id —
+    deterministic, unlike dropDuplicates' arbitrary pick) and drops rows
+    whose fingerprint was already emitted by ANY earlier batch or run, via
+    a left-anti join against the materialized fingerprint ledger.
+
+    The documents table has no event time, so watermark-bounded
+    dropDuplicates state doesn't apply; the ledger IS the state, and it
+    survives restarts for free because it's the output. At 100 TB the
+    anti-join shuffles only (fp, doc_id) pairs; a production deployment
+    would front it with a bloom filter per ledger partition, same plan
+    shape. Returns the number of micro-batches executed.
+    """
+    from pyspark.sql.window import Window
+
+    stream = spark.readStream.schema(DOCS_TABLE_SCHEMA).parquet(input_path)
+    data_dir = os.path.join(out_dir, "data")
+    ledger_dir = os.path.join(out_dir, "ledger")
+    n_batches = {"n": 0}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        fresh = (
+            batch_df.withColumn("fp", F.md5("text"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if os.path.isdir(ledger_dir):
+            # No broadcast hint: the ledger grows without bound — AQE
+            # broadcasts it while small and shuffle-joins once it isn't.
+            seen = spark.read.parquet(ledger_dir)
+            fresh = fresh.join(seen, "fp", "left_anti")
+        # Materialize once: the ledger append must list exactly the rows
+        # the data append emitted (two actions on one lineage could pick
+        # different rows under speculative re-execution).
+        fresh.persist()
+        try:
+            fresh.drop("fp").write.mode("append").parquet(data_dir)
+            fresh.select("fp").write.mode("append").parquet(ledger_dir)
+        finally:
+            fresh.unpersist()
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(out_dir, "_dedup_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful streaming operator: gap sessionization with cross-batch
 # state (the W4 gap-session semantics as a continuous operator)
 # ---------------------------------------------------------------------------

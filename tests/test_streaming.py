@@ -82,3 +82,36 @@ def test_stateful_sessionize_across_waves(spark, tmp_path):
     # session B spanned both waves: 90min + 95min events
     assert got2[1]["n_events"] == 2
     assert got2[1]["session_end"] - got2[1]["session_start"] == 300.0  # 5 min
+
+
+def test_dedup_stream_across_waves(spark, tmp_path):
+    """Streaming exact dedup: within-batch duplicates keep min doc_id;
+    content already emitted by an EARLIER wave is dropped in later waves
+    via the fingerprint ledger."""
+    from pdfredact_spark.streaming import dedup_stream
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "dedup")
+
+    def doc(i, text):
+        return (i, text, "en", "srcA", len(text))
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # wave 1: 'alpha' duplicated within the batch (ids 1 and 3)
+    w1 = [doc(1, "alpha"), doc(2, "beta"), doc(3, "alpha")]
+    spark.createDataFrame(w1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    assert dedup_stream(spark, in_dir, out_dir) >= 1
+    got1 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_dir + "/data").collect()}
+    assert got1 == {1: "alpha", 2: "beta"}  # min doc_id kept, dup dropped
+
+    # wave 2: 'beta' is a cross-wave duplicate; 'gamma' is new
+    w2 = [doc(4, "beta"), doc(5, "gamma")]
+    spark.createDataFrame(w2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    dedup_stream(spark, in_dir, out_dir)
+    got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_dir + "/data").collect()}
+    assert got2 == {1: "alpha", 2: "beta", 5: "gamma"}
+
+    # idempotent re-run: nothing new arrived, output unchanged
+    dedup_stream(spark, in_dir, out_dir)
+    got3 = {r["doc_id"] for r in spark.read.parquet(out_dir + "/data").collect()}
+    assert got3 == {1, 2, 5}
