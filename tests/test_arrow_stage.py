@@ -142,3 +142,66 @@ def test_flatten_mode_arrow():
         assert row["spans"] == out
         kinds = {s["kind"] for s in row["spans"]}
         assert kinds <= {"page", "media"}
+
+
+def test_arrow_stage_equals_dict_kernel_on_random_docs():
+    """Property: for ANY document batch, the Arrow stage's output equals
+    the dict-API kernel applied per doc (hypothesis-generated)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdfredact_spark.fixtures import page_span, text_span
+
+    WORDS = ["alpha", "beta", "123-45-6789", "x", "a-b", "42"]
+
+    @st.composite
+    def rand_doc(draw, i):
+        n_lines = draw(st.integers(1, 4))
+        spans = [page_span(1)]
+        for r in range(n_lines):
+            line = " ".join(
+                draw(st.sampled_from(WORDS)) for _ in range(draw(st.integers(1, 5)))
+            )
+            spans.append(text_span(1, r, 72.0, line))
+        return {"doc_id": f"h-{i}", "spans": spans}
+
+    @st.composite
+    def batches(draw):
+        n = draw(st.integers(1, 6))
+        return [draw(rand_doc(i)) for i in range(n)]
+
+    @settings(max_examples=40, deadline=None)
+    @given(docs=batches())
+    def check(docs):
+        rows = _run(docs)
+        for doc, row in zip(docs, rows):
+            exp, h = _expected(doc)
+            assert row["spans"] == exp
+            assert row["n_rule_hits"] == h
+
+    check()
+
+
+def test_small_arrow_batches_through_spark(spark):
+    """Exercise the real Spark mapInArrow boundary with tiny batches (7
+    docs/batch over 25 docs) — output must match the dict kernel exactly,
+    including the mid-batch error row."""
+    from pdfredact_spark.pipeline import docs_to_df, redact_full
+
+    docs = [corpus_doc(i, 2) for i in range(24)]
+    docs.insert(11, demo_doc("rot-x", rotation_page1=90))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = {r.doc_id: r for r in redact_full(docs_to_df(spark, docs), RULES).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(rows) == 25
+    assert rows["rot-x"].spans is None and rows["rot-x"].error
+    for doc in docs:
+        if doc["doc_id"] == "rot-x":
+            continue
+        exp, h = _expected(doc)
+        got = rows[doc["doc_id"]]
+        assert [dict(s.asDict()) for s in got.spans] == exp
+        assert got.n_rule_hits == h
