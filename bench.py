@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "rollup_counts",
     "top_customers",
     "shipping_priority",
+    "local_supplier_volume",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
