@@ -47,20 +47,23 @@ def run_incremental(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         full = redact_full(batch_df, rules, flatten)
-        # foreachBatch may retry a batch: persist once, write both views;
-        # append-mode parquet + the streaming WAL keep file accounting
-        # exactly-once at the batch level.
+        # foreachBatch is AT-LEAST-once: a retried batch must not append a
+        # second copy. Writes go to a per-batch directory in OVERWRITE
+        # mode, so a retry rewrites the same directory (idempotent) —
+        # checkpoint.py's commit pattern. Readers scan the parent dir.
         full.persist()
         try:
             (
                 full.where(F.col("error").isNull())
                 .select("doc_id", "spans", "n_rule_hits")
-                .write.mode("append")
-                .parquet(data_dir)
+                .write.mode("overwrite")
+                .parquet(os.path.join(data_dir, f"batch={batch_id}"))
             )
             errs = full.where(F.col("error").isNotNull()).select("doc_id", "error")
             if errs.limit(1).count():
-                errs.write.mode("append").parquet(err_dir)
+                errs.write.mode("overwrite").parquet(
+                    os.path.join(err_dir, f"batch={batch_id}")
+                )
         finally:
             full.unpersist()
         n_batches["n"] += 1
@@ -115,13 +118,19 @@ def dedup_stream(spark: SparkSession, input_path: str, out_dir: str) -> int:
             # broadcasts it while small and shuffle-joins once it isn't.
             seen = spark.read.parquet(ledger_dir)
             fresh = fresh.join(seen, "fp", "left_anti")
-        # Materialize once: the ledger append must list exactly the rows
-        # the data append emitted (two actions on one lineage could pick
-        # different rows under speculative re-execution).
+        # Materialize once: the ledger write must list exactly the rows
+        # the data write emitted (two actions on one lineage could pick
+        # different rows under speculative re-execution). Per-batch
+        # OVERWRITE directories make a foreachBatch retry idempotent
+        # (append mode would double-emit the batch).
         fresh.persist()
         try:
-            fresh.drop("fp").write.mode("append").parquet(data_dir)
-            fresh.select("fp").write.mode("append").parquet(ledger_dir)
+            fresh.drop("fp").write.mode("overwrite").parquet(
+                os.path.join(data_dir, f"batch={batch_id}")
+            )
+            fresh.select("fp").write.mode("overwrite").parquet(
+                os.path.join(ledger_dir, f"batch={batch_id}")
+            )
         finally:
             fresh.unpersist()
         n_batches["n"] += 1
