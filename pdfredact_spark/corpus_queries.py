@@ -19,7 +19,16 @@ from pyspark.sql import functions as F
 
 from pdfredact_spark.fixtures import MULTI_RULES, SSN_RULE, corpus, demo_doc
 from pdfredact_spark.kernel import locate_document, redact_document
-from pdfredact_spark.media import decode_media, fetch_media_bytes, media_metadata
+from pdfredact_spark.media import (
+    decode_media,
+    fetch_media_bytes,
+    frame_digest,
+    media_frames,
+    media_metadata,
+    media_thumbnails,
+    resize_media,
+    sample_frame_indices,
+)
 from pdfredact_spark.model import Rule
 from pdfredact_spark.pipeline import (
     docs_to_df,
@@ -170,6 +179,31 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal thumbnailing: fetch -> decode -> aspect-preserving
+    resize (stubbed resample, real dimension arithmetic + Arrow plumbing)."""
+    df = docs_to_df(spark, corpus(16))
+    return media_thumbnails(df).select(
+        "doc_id",
+        "media_ref",
+        F.col("out_width").cast("long").alias("out_width"),
+        F.col("out_height").cast("long").alias("out_height"),
+        "thumb_digest",
+    )
+
+
+def q_media_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame extraction: one row per uniformly-sampled frame
+    (the one-to-many video fan-out; decode stubbed behind a digest)."""
+    df = docs_to_df(spark, corpus(16))
+    return media_frames(df).select(
+        "doc_id",
+        "media_ref",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_digest",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Kernel-computed VALUES oracles
 # ---------------------------------------------------------------------------
@@ -274,11 +308,44 @@ def oracle_media_frame_sample() -> str:
     )
 
 
+def oracle_media_thumbnails() -> str:
+    rows = []
+    for d in corpus(16):
+        for sp in d["spans"]:
+            if sp["kind"] == "media":
+                p = fetch_media_bytes(sp["media_ref"])
+                m = decode_media(p)
+                t = resize_media(p, m["width"], m["height"])
+                rows.append(
+                    (d["doc_id"], sp["media_ref"], t["out_width"],
+                     t["out_height"], t["thumb_digest"])
+                )
+    return _values_sql(
+        rows, ["doc_id", "media_ref", "out_width", "out_height", "thumb_digest"]
+    )
+
+
+def oracle_media_frame_extract() -> str:
+    rows = []
+    for d in corpus(16):
+        for sp in d["spans"]:
+            if sp["kind"] == "media":
+                p = fetch_media_bytes(sp["media_ref"])
+                m = decode_media(p)
+                for idx in sample_frame_indices(m["n_frames"]):
+                    rows.append(
+                        (d["doc_id"], sp["media_ref"], idx, frame_digest(p, idx))
+                    )
+    return _values_sql(rows, ["doc_id", "media_ref", "frame_idx", "frame_digest"])
+
+
 PIPELINE_QUERIES = {
     "redact_corpus_masks": q_redact_corpus_masks,
     "locate_demo_regions": q_locate_demo_regions,
     "flatten_corpus": q_flatten_corpus,
     "media_frame_sample": q_media_frame_sample,
+    "media_thumbnails": q_media_thumbnails,
+    "media_frame_extract": q_media_frame_extract,
     "mask_geometry": q_mask_geometry,
     "region_page_summary": q_region_page_summary,
     "redact_boxed_fragments": q_redact_boxed_fragments,
@@ -289,6 +356,8 @@ PIPELINE_ORACLES = {
     "locate_demo_regions": oracle_locate_demo_regions,
     "flatten_corpus": oracle_flatten_corpus,
     "media_frame_sample": oracle_media_frame_sample,
+    "media_thumbnails": oracle_media_thumbnails,
+    "media_frame_extract": oracle_media_frame_extract,
     "mask_geometry": oracle_mask_geometry,
     "region_page_summary": oracle_region_page_summary,
     "redact_boxed_fragments": oracle_redact_boxed_fragments,

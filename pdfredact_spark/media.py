@@ -59,6 +59,39 @@ def decode_media(payload: bytes, fake: bool = True) -> dict:
     }
 
 
+def resize_dims(width: int, height: int, target: int = 256) -> tuple[int, int]:
+    """Aspect-preserving thumbnail arithmetic (longest side -> target,
+    integer math, floor, min 1px). This part is REAL — only the pixel
+    resample below is stubbed."""
+    m = max(width, height)
+    return max(1, width * target // m), max(1, height * target // m)
+
+
+def resize_media(
+    payload: bytes, width: int, height: int, target: int = 256, fake: bool = True
+) -> dict:
+    """STUB resample: real pixel work needs PIL/ffmpeg. The fake derives a
+    thumbnail digest from (payload, output dims) so results are stable."""
+    if not fake:
+        raise NotImplementedError(
+            "real media resampling requires PIL/ffmpeg (not in this container)"
+        )
+    w, h = resize_dims(width, height, target)
+    digest = hashlib.md5(payload + f":resize:{w}x{h}".encode()).hexdigest()
+    return {"out_width": w, "out_height": h, "thumb_digest": digest}
+
+
+def sample_frame_indices(n_frames: int, k: int = 4) -> list[int]:
+    """Uniform stride frame sampling: at most k frames, always frame 0."""
+    stride = max(1, n_frames // k)
+    return list(range(0, n_frames, stride))[:k]
+
+
+def frame_digest(payload: bytes, idx: int) -> str:
+    """STUBBED frame decode: digest stands in for the frame tensor."""
+    return hashlib.md5(payload + f":frame:{idx}".encode()).hexdigest()
+
+
 def media_metadata(docs: DataFrame) -> DataFrame:
     """Extract media spans, fetch payloads, and decode metadata via an
     Arrow-batched mapInPandas (one Python call per batch of media refs —
@@ -85,3 +118,87 @@ def media_metadata(docs: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, schema=MEDIA_META_SCHEMA)
+
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("media_ref", StringType(), False),
+        StructField("out_width", IntegerType(), False),
+        StructField("out_height", IntegerType(), False),
+        StructField("thumb_digest", StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("media_ref", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_digest", StringType(), False),
+    ]
+)
+
+
+def _media_refs(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    )
+
+
+def media_thumbnails(docs: DataFrame, target: int = 256) -> DataFrame:
+    """Fetch -> decode -> aspect-preserving resize per media span, one
+    Arrow batch per Python call (the thumbnailing stage of a multimodal
+    ingest; resample stubbed, dimension arithmetic real)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, digs = [], [], []
+            for r in pdf["media_ref"]:
+                p = fetch_media_bytes(r)
+                m = decode_media(p)
+                t = resize_media(p, m["width"], m["height"], target)
+                ws.append(t["out_width"])
+                hs.append(t["out_height"])
+                digs.append(t["thumb_digest"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "out_width": ws,
+                    "out_height": hs,
+                    "thumb_digest": digs,
+                }
+            )
+
+    return _media_refs(docs).mapInPandas(fn, schema=THUMB_SCHEMA)
+
+
+def media_frames(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Fetch -> decode -> uniform-stride frame sampling, one output row
+    per sampled frame (the one-to-many multimodal shape: a video span
+    fans out to k frame rows; decode stubbed behind a digest)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            d_out, r_out, i_out, g_out = [], [], [], []
+            for d, r in zip(pdf["doc_id"], pdf["media_ref"]):
+                p = fetch_media_bytes(r)
+                m = decode_media(p)
+                for idx in sample_frame_indices(m["n_frames"], k):
+                    d_out.append(d)
+                    r_out.append(r)
+                    i_out.append(idx)
+                    g_out.append(frame_digest(p, idx))
+            yield pd.DataFrame(
+                {
+                    "doc_id": d_out,
+                    "media_ref": r_out,
+                    "frame_idx": i_out,
+                    "frame_digest": g_out,
+                }
+            )
+
+    return _media_refs(docs).mapInPandas(fn, schema=FRAME_SCHEMA)
