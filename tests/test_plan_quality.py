@@ -103,3 +103,14 @@ def test_dedup_embedding_cosine_no_bnlj(spark):
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_topk_queries_use_take_ordered(spark):
+    """Top-k must compile to TakeOrderedAndProject (distributed heaps),
+    never an unpartitioned row_number window that funnels every candidate
+    into one partition."""
+    from pdfredact_spark.queries import SQL_QUERIES
+
+    for name in ["ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "top_customers"]:
+        plan = plan_of(SQL_QUERIES[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name
