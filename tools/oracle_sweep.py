@@ -1,0 +1,83 @@
+"""Cross-engine oracle sweep at arbitrary scale factor / parallelism.
+
+The driver's CORRECTNESS gate runs at sf0.01 on its own session; this tool
+re-checks EVERY queries() entry against its oracle_sql() twin under other
+conditions, which catches order-dependent bugs the fixed gate can't (it
+found the money-rounding penny flips: 9 of 3346 shipping_priority groups
+rounded differently at sf0.1 before the integer-cents rewrite).
+
+Usage:
+    SWEEP_SF=sf0.1 SWEEP_CORES=32 SWEEP_SHUF=32 python tools/oracle_sweep.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    if len(df.columns):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    sf = os.environ.get("SWEEP_SF", "sf0.1")
+    cores = os.environ.get("SWEEP_CORES", "32")
+    shuf = os.environ.get("SWEEP_SHUF", "32")
+    d = f"/root/testdata/{sf}"
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", shuf)
+        .appName(f"oracle-sweep-{sf}")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    fails = []
+    for name in sorted(qs):
+        try:
+            sdf = canon(qs[name](spark, d).toPandas())
+            odf = canon(con.execute(oracles[name]).df())
+            hs = int(pd.util.hash_pandas_object(sdf, index=False).sum())
+            ho = int(pd.util.hash_pandas_object(odf, index=False).sum())
+            ok = (
+                len(sdf) == len(odf)
+                and list(sdf.columns) == list(odf.columns)
+                and hs == ho
+            )
+            print(f"{name}: {'OK' if ok else f'FAIL rows={len(sdf)}/{len(odf)}'}", flush=True)
+            if not ok:
+                fails.append(name)
+        except Exception as e:  # noqa: BLE001
+            fails.append(name)
+            print(f"{name}: ERROR {type(e).__name__}: {str(e)[:150]}", flush=True)
+    print(f"SUMMARY {sf} cores={cores} shuf={shuf}: "
+          f"{len(qs) - len(fails)}/{len(qs)} green; fails: {fails}")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
