@@ -21,16 +21,26 @@ from pdfredact_spark.kernel import locate_document, redact_document
 from pdfredact_spark.model import Rule
 
 WORDS = ["alpha", "beta", "gamma", "123-45-6789", "x9", "delta,", "42", "a-b"]
+# Unicode Nd digits (Arabic-Indic) + tab-bearing words for the hard cases
+HARD_WORDS = WORDS + ["١٢٣", "7", "-", "9/9", "x\ty"]
 
 
 @st.composite
-def documents(draw):
-    n_lines = draw(st.integers(1, 6))
-    spans = [page_span(1)]
-    for r in range(n_lines):
-        n_words = draw(st.integers(1, 8))
-        line = " ".join(draw(st.sampled_from(WORDS)) for _ in range(n_words))
-        spans.append(text_span(1, r, 72.0, line))
+def documents(draw, hard: bool = False):
+    vocab = HARD_WORDS if hard else WORDS
+    n_pages = draw(st.integers(1, 3)) if hard else 1
+    spans = []
+    for pg in range(1, n_pages + 1):
+        spans.append(page_span(pg))
+        for r in range(draw(st.integers(1, 6))):
+            n_words = draw(st.integers(1, 8))
+            line = " ".join(draw(st.sampled_from(vocab)) for _ in range(n_words))
+            spans.append(text_span(pg, r, 72.0, line))
+        if hard and draw(st.booleans()):
+            m = text_span(pg, 9, 400.0, "")
+            m["kind"] = "media"
+            m["media_ref"] = f"img:{pg}"
+            spans.append(m)
     return {"doc_id": "prop-1", "spans": spans}
 
 
@@ -158,6 +168,62 @@ def test_match_spanning_multiple_words():
     assert len(regions) == 1
     texts = [s["text"] for s in out if s["kind"] == "text"]
     assert texts == ["stuff"]
+
+
+@st.composite
+def hard_rules(draw):
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        # numeric literals auto-route to the fragment tokenizer (P2)
+        return Rule(draw(st.sampled_from(["42", "123", "١٢٣", "9/9", "-", "7"])))
+    if kind == 1:
+        return Rule(
+            draw(st.sampled_from([r"\d+", r"[١٢٣]+", r"\S+\s\S+", r"x.y"])),
+            is_regex=True,
+        )
+    if kind == 2:
+        return Rule(draw(st.sampled_from(HARD_WORDS)),
+                    fragment_aware=draw(st.sampled_from([None, True, False])))
+    return Rule(draw(st.sampled_from([" alpha", "beta ", "\t", "a-b"])))
+
+
+@settings(max_examples=100, deadline=None)
+@given(doc=documents(hard=True), rs=st.lists(hard_rules(), min_size=1, max_size=3))
+def test_invariants_on_hard_docs(doc, rs):
+    """Multi-page docs with media spans, Unicode-Nd digits, tabs, and
+    fragment-aware rules: determinism + mask accounting + no invented
+    content must hold (and fast == general, checked by the kernel's own
+    fast-path dispatch through redact_document)."""
+    out, regions, hits = redact_document(doc["doc_id"], doc["spans"], rs)
+    out2, _, _ = redact_document(doc["doc_id"], doc["spans"], rs)
+    assert out == out2
+    masks = [s for s in out if s["kind"] == "mask"]
+    assert len(masks) == hits == len(regions)
+    assert len({m["media_ref"] for m in masks}) == len(masks)
+    originals = [s["text"] for s in doc["spans"] if s["kind"] == "text"]
+    for s in out:
+        if s["kind"] == "text":
+            assert any(s["text"] in o for o in originals), s
+    # media spans pass through untouched
+    in_media = sorted(s["media_ref"] for s in doc["spans"] if s["kind"] == "media")
+    out_media = sorted(s["media_ref"] for s in out if s["kind"] == "media")
+    assert in_media == out_media
+
+
+@settings(max_examples=60, deadline=None)
+@given(doc=documents(hard=True), rs=st.lists(hard_rules(), min_size=1, max_size=2))
+def test_fast_equals_general_on_hard_docs(doc, rs):
+    import pdfredact_spark.kernel as K
+
+    out_fast, _, h_f = K.redact_document(doc["doc_id"], doc["spans"], rs)
+    real = K._locate_words_fast
+    K._locate_words_fast = lambda *a, **k: None
+    try:
+        out_gen, _, h_g = K.redact_document(doc["doc_id"], doc["spans"], rs)
+    finally:
+        K._locate_words_fast = real
+    assert h_f == h_g
+    assert out_fast == out_gen
 
 
 @settings(max_examples=120, deadline=None)
