@@ -116,8 +116,14 @@ def dedup_stream(spark: SparkSession, input_path: str, out_dir: str) -> int:
         if os.path.isdir(ledger_dir):
             # No broadcast hint: the ledger grows without bound — AQE
             # broadcasts it while small and shuffle-joins once it isn't.
-            seen = spark.read.parquet(ledger_dir)
-            fresh = fresh.join(seen, "fp", "left_anti")
+            # EXCLUDE this batch's own partition: a foreachBatch retry
+            # that crashed after the ledger write but before the WAL
+            # commit would otherwise anti-join the batch against its own
+            # fingerprints and overwrite data/batch=N with nothing.
+            seen = spark.read.parquet(ledger_dir).where(
+                F.col("batch") != batch_id
+            )
+            fresh = fresh.join(seen.select("fp"), "fp", "left_anti")
         # Materialize once: the ledger write must list exactly the rows
         # the data write emitted (two actions on one lineage could pick
         # different rows under speculative re-execution). Per-batch

@@ -115,3 +115,30 @@ def test_dedup_stream_across_waves(spark, tmp_path):
     dedup_stream(spark, in_dir, out_dir)
     got3 = {r["doc_id"] for r in spark.read.parquet(out_dir + "/data").collect()}
     assert got3 == {1, 2, 5}
+
+
+def test_dedup_stream_retry_after_lost_wal_commit(spark, tmp_path):
+    """Simulates a foreachBatch retry that happens AFTER the ledger write
+    but BEFORE the streaming WAL commit: deleting the checkpoint makes
+    availableNow reprocess the same files under the same batch_id. The
+    batch must not be anti-joined against its own fingerprints (that
+    would overwrite its data directory with nothing)."""
+    import shutil
+
+    from pdfredact_spark.streaming import dedup_stream
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "dedup")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(1, "alpha", "en", "s", 5), (2, "beta", "en", "s", 4)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    dedup_stream(spark, in_dir, out_dir)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out_dir + "/data").collect())
+    assert first == [1, 2]
+
+    # lose the WAL commit; the same input replays under the same batch_id
+    shutil.rmtree(out_dir + "/_dedup_checkpoint")
+    dedup_stream(spark, in_dir, out_dir)
+    replay = sorted(r["doc_id"] for r in spark.read.parquet(out_dir + "/data").collect())
+    assert replay == [1, 2]  # not emptied by self-anti-join
