@@ -205,3 +205,16 @@ def test_small_arrow_batches_through_spark(spark):
         got = rows[doc["doc_id"]]
         assert [dict(s.asDict()) for s in got.spans] == exp
         assert got.n_rule_hits == h
+
+
+def test_zero_span_docs_pass_through():
+    docs = [
+        {"doc_id": "empty-1", "spans": []},
+        corpus_doc(1, 2),
+        {"doc_id": "empty-2", "spans": []},
+    ]
+    rows = _run(docs)
+    assert rows[0]["spans"] == [] and rows[0]["error"] is None
+    assert rows[2]["spans"] == [] and rows[2]["error"] is None
+    exp, _ = _expected(docs[1])
+    assert rows[1]["spans"] == exp
