@@ -103,30 +103,38 @@ def _num_partitions(df: DataFrame, requested: int | None) -> int:
     return df.sparkSession.sparkContext.defaultParallelism * 4
 
 
-def _span_batch_cols(rb):
+def _span_batch_cols(rb, with_refs: bool = True):
     """Decompose an Arrow record batch's (doc_id, spans) into flat parallel
     child arrays + per-doc offset ranges — NO per-span Python dicts and no
     pandas block conversion (measured ~2.7s of a 5.5s noop at local[8] on
     the 100k corpus; BENCH/BASELINE.md round-2 lever #1).
 
     ``ListArray.offsets`` are absolute indices into ``.values`` even for
-    sliced arrays, so (offsets[i], offsets[i+1]) ranges stay correct."""
+    sliced arrays, so (offsets[i], offsets[i+1]) ranges stay correct.
+
+    ``valid[i]`` is False for rows whose spans column is NULL (reachable
+    through externally-written parquet with a nullable schema) — callers
+    must route those, never treat them as empty docs. ``with_refs=False``
+    skips the media_ref conversion for locate-only callers."""
     doc_ids = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
     spans_col = rb.column(rb.schema.get_field_index("spans"))
+    valid = spans_col.is_valid().to_pylist()
     bounds = spans_col.offsets.to_pylist()
     flat = spans_col.values
     # A sliced ListArray's .values is the FULL underlying buffer; trim to
     # this batch's range or to_pylist() converts the whole parent array
-    # (measured 3x redundant conversion on re-batched tables).
-    base, end = bounds[0], bounds[-1]
+    # (measured 3x redundant conversion on re-batched tables). Null rows
+    # may surface as None offsets — trim from the non-null envelope.
+    present = [x for x in bounds if x is not None]
+    base, end = (present[0], present[-1]) if present else (0, 0)
     if base != 0 or end != len(flat):
         flat = flat.slice(base, end - base)
-        bounds = [x - base for x in bounds]
+        bounds = [None if x is None else x - base for x in bounds]
     kinds = flat.field("kind").to_pylist()
     texts = flat.field("text").to_pylist()
-    refs = flat.field("media_ref").to_pylist()
+    refs = flat.field("media_ref").to_pylist() if with_refs else None
     offs = flat.field("offset").to_pylist()
-    return doc_ids, bounds, kinds, texts, refs, offs
+    return doc_ids, valid, bounds, kinds, texts, refs, offs
 
 
 def _make_doc_map_arrow(rules: list[Rule], flatten: bool):
@@ -136,7 +144,7 @@ def _make_doc_map_arrow(rules: list[Rule], flatten: bool):
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            doc_ids, bounds, kinds, texts, refs, offs = _span_batch_cols(rb)
+            doc_ids, valid, bounds, kinds, texts, refs, offs = _span_batch_cols(rb)
             out_k: list = []
             out_t: list = []
             out_r: list = []
@@ -147,6 +155,13 @@ def _make_doc_map_arrow(rules: list[Rule], flatten: bool):
             hits: list = []
             errs: list = []
             for i, d in enumerate(doc_ids):
+                if not valid[i]:
+                    # NULL spans (garbage row): route, never emit it as a
+                    # cleanly-redacted empty document.
+                    starts.append(None)
+                    hits.append(0)
+                    errs.append("ValueError: spans column is null")
+                    continue
                 a, b = bounds[i], bounds[i + 1]
                 try:
                     k, t, r, o, _, h = redact_document_cols(
@@ -381,11 +396,18 @@ def locate_regions(
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            doc_ids, bounds, kinds, texts, refs, offs = _span_batch_cols(rb)
+            doc_ids, valid, bounds, kinds, texts, _, offs = _span_batch_cols(
+                rb, with_refs=False
+            )
             c_d, c_p, c_x, c_y, c_w, c_h, c_mt, c_rp, c_rot = (
                 [], [], [], [], [], [], [], [], []
             )
             for i, d in enumerate(doc_ids):
+                if not valid[i]:
+                    # No error column in REGION_SCHEMA: fail loudly with
+                    # the doc id rather than silently dropping the doc
+                    # from the plan (matches the old path's hard failure).
+                    raise ValueError(f"doc {d}: spans column is null")
                 a, b = bounds[i], bounds[i + 1]
                 for r in locate_document_cols(d, kinds[a:b], texts[a:b], offs[a:b], rules):
                     c_d.append(d)
@@ -509,7 +531,7 @@ def apply_plans(docs: DataFrame, plans: DataFrame) -> tuple[DataFrame, DataFrame
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            doc_ids, bounds, kinds, texts, refs, offs = _span_batch_cols(rb)
+            doc_ids, valid, bounds, kinds, texts, refs, offs = _span_batch_cols(rb)
             # Plans are per-doc tiny (a handful of regions); a plain
             # to_pylist of the (mostly-null) list column is fine here.
             plan_lists = rb.column(rb.schema.get_field_index("plan_regions")).to_pylist()
@@ -521,17 +543,22 @@ def apply_plans(docs: DataFrame, plans: DataFrame) -> tuple[DataFrame, DataFrame
             hits: list = []
             errs: list = []
             for i, d in enumerate(doc_ids):
+                if not valid[i]:
+                    starts.append(None)
+                    hits.append(0)
+                    errs.append("ValueError: spans column is null")
+                    continue
                 a, b = bounds[i], bounds[i + 1]
-                regions = [
-                    KRegion(
-                        page=r["pageNumber"], x=r["x"], y=r["y"],
-                        width=r["width"], height=r["height"],
-                        matched_text=r["matchedText"], rule_pattern=r["rulePattern"],
-                        rotation=r["pageRotation"],
-                    )
-                    for r in (plan_lists[i] or [])
-                ]
                 try:
+                    regions = [
+                        KRegion(
+                            page=r["pageNumber"], x=r["x"], y=r["y"],
+                            width=r["width"], height=r["height"],
+                            matched_text=r["matchedText"], rule_pattern=r["rulePattern"],
+                            rotation=r["pageRotation"],
+                        )
+                        for r in (plan_lists[i] or [])
+                    ]
                     k, t, r, o, n = apply_plan_cols(
                         d, kinds[a:b], texts[a:b], refs[a:b], offs[a:b], regions
                     )
@@ -546,6 +573,13 @@ def apply_plans(docs: DataFrame, plans: DataFrame) -> tuple[DataFrame, DataFrame
                     starts.append(None)
                     hits.append(0)
                     errs.append(str(e))
+                except Exception as e:  # noqa: BLE001 — malformed plan rows
+                    # read_plans uses a permissive nullable JSON schema; a
+                    # truncated or hand-edited plan (null coordinates)
+                    # must quarantine the doc, not kill the apply job.
+                    starts.append(None)
+                    hits.append(0)
+                    errs.append(f"{type(e).__name__}: {e}")
             starts.append(len(out_k))
             yield _build_redacted_batch(doc_ids, out_k, out_t, out_r, out_o, starts, hits, errs)
 

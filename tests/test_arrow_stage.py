@@ -119,8 +119,9 @@ def test_sliced_batch_values_are_trimmed():
     docs = [corpus_doc(i, 2) for i in range(6)]
     big = _to_batch(docs)
     sl = big.slice(2, 3)
-    doc_ids, bounds, kinds, texts, refs, offs = _span_batch_cols(sl)
+    doc_ids, valid, bounds, kinds, texts, refs, offs = _span_batch_cols(sl)
     assert doc_ids == [d["doc_id"] for d in docs[2:5]]
+    assert valid == [True, True, True]
     assert bounds[0] == 0
     assert bounds[-1] == len(kinds) == len(texts) == len(refs) == len(offs)
     n_expected = sum(len(d["spans"]) for d in docs[2:5])
@@ -218,3 +219,26 @@ def test_zero_span_docs_pass_through():
     assert rows[2]["spans"] == [] and rows[2]["error"] is None
     exp, _ = _expected(docs[1])
     assert rows[1]["spans"] == exp
+
+
+def test_null_spans_row_routed_to_errors():
+    """A row whose spans COLUMN is null (nullable external parquet) must
+    quarantine, never emit as a cleanly-redacted empty document."""
+    struct = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    good = corpus_doc(1, 2)
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array(["null-1", good["doc_id"], "null-2"], type=pa.string()),
+            pa.array([None, good["spans"], None], type=pa.list_(struct)),
+        ],
+        names=["doc_id", "spans"],
+    )
+    fn = _make_doc_map_arrow(RULES, flatten=False)
+    rows = list(fn(iter([rb])))[0].to_pylist()
+    assert rows[0]["spans"] is None and "null" in rows[0]["error"]
+    assert rows[2]["spans"] is None and "null" in rows[2]["error"]
+    exp, _ = _expected(good)
+    assert rows[1]["spans"] == exp and rows[1]["error"] is None

@@ -110,3 +110,30 @@ def test_apply_plans_differential_random(spark):
         regs = locate_document(d["doc_id"], d["spans"], MULTI_RULES)
         exp, _ = k_apply(d["doc_id"], d["spans"], regs)
         assert got[d["doc_id"]] == [(s["kind"], s["text"], s["media_ref"]) for s in exp], d["doc_id"]
+
+
+def test_malformed_plan_rows_quarantine_not_crash(spark, tmp_path):
+    """A hand-edited/truncated plan with null coordinates must quarantine
+    the affected doc, not kill the apply job (read_plans is a permissive
+    nullable JSON schema)."""
+    import json
+
+    from pdfredact_spark.fixtures import corpus
+    from pdfredact_spark.pipeline import apply_plans, docs_to_df, read_plans
+
+    docs = docs_to_df(spark, corpus(3, mega_every=0))
+    plan_dir = tmp_path / "plans"
+    plan_dir.mkdir()
+    rows = [
+        {"sourcePdfPath": "d000000000",
+         "regions": [{"pageNumber": 1, "x": None, "y": None, "width": None,
+                      "height": None, "matchedText": None, "rulePattern": None,
+                      "pageRotation": 0}],
+         "totalRedactions": 1},
+    ]
+    (plan_dir / "p.json").write_text("\n".join(json.dumps(r) for r in rows))
+    good, errors = apply_plans(docs, read_plans(spark, str(plan_dir)))
+    err_rows = {r.doc_id: r.error for r in errors.collect()}
+    good_ids = {r.doc_id for r in good.collect()}
+    assert "d000000000" in err_rows and "TypeError" in err_rows["d000000000"]
+    assert good_ids == {"d000000001", "d000000002"}  # pass-through intact
