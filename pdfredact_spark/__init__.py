@@ -20,12 +20,17 @@ Layers
 - ``queries``    — driver-contract query inventory (+ DuckDB oracle SQL)
 """
 
-from pdfredact_spark.model import DOC_SCHEMA, SPAN_SCHEMA, Rule  # noqa: F401
+from pdfredact_spark.spanmodel import Rule  # noqa: F401  (Spark-free)
 
 
 def __getattr__(name):
     """Lazy re-exports of the engine surface (keeps `import pdfredact_spark`
-    cheap — no Spark import until a pipeline symbol is touched)."""
+    cheap — no Spark import until a schema or pipeline symbol is touched,
+    so the pure kernel/spanmodel stay importable without pyspark)."""
+    if name in ("DOC_SCHEMA", "SPAN_SCHEMA"):
+        import importlib
+
+        return getattr(importlib.import_module("pdfredact_spark.model"), name)
     surface = {
         "redact": "pipeline",
         "redact_full": "pipeline",

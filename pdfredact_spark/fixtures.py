@@ -298,9 +298,12 @@ def corpus_doc(i: int, lines_mult: int = 1) -> dict:
 
 
 def mega_doc(doc_id: str, n_spans: int = 20_000) -> dict:
-    """Skew probe (fx-13 analog): one document with up to 100k text spans,
-    laid out 5 spans per row x 2000 rows per page x up to 10 pages (the
-    int32 offset encoding caps a doc at 10 pages — FIXTURES.md §2)."""
+    """Skew probe (fx-13 analog): one document with up to ~97k text spans,
+    laid out 5 spans per row x 2000 rows per page across up to 10 pages.
+    The int32 offset encoding caps page 10 at row 1473 (10*PAGE_BASE +
+    1474*ROW_BASE + max x-component exceeds 2^31-1), so the true doc
+    capacity is 9*2000*5 + 1474*5 = 97,370 spans — NOT the 100k the
+    page-count bound alone would suggest."""
     spans: list[dict] = []
     per_row = 5
     rows_per_page = PAGE_BASE // ROW_BASE  # 2000
@@ -310,8 +313,9 @@ def mega_doc(doc_id: str, n_spans: int = 20_000) -> dict:
         page += 1
         if page > 10:
             raise ValueError("int32 offset encoding caps a doc at 10 pages")
+        page_rows = rows_per_page if page < 10 else 1474  # int32 guard
         spans.append(page_span(page))
-        for row in range(rows_per_page):
+        for row in range(page_rows):
             for j in range(per_row):
                 line = PAGE1_LINES[made % len(PAGE1_LINES)]
                 spans.append(text_span(page, row, 100.0 + j * 1900.0, line))

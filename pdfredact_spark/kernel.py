@@ -20,8 +20,9 @@ Semantics notes (documented deviations, all fixture-consistent):
 
 - Whitespace in a text span is layout, not a glyph (PdfPig's page.Letters
   only reports drawn glyphs); "words" are maximal non-space runs.
-- Literal case-insensitive compare uses str.lower() — equivalent to .NET
-  OrdinalIgnoreCase for the ASCII-ish fixture corpus (SURVEY.md F2 caveat).
+- Literal case-insensitive compare uses a LENGTH-PRESERVING per-char fold
+  (_fold_1to1, the .NET OrdinalIgnoreCase analog) — str.lower() can change
+  string length ('İ' -> 2 chars) and would shift match indices.
 - A mask span carries text='' (content is redacted), media_ref =
   ``mask:<doc>:<page>:<seq>`` with seq = the deterministic apply order
   (Y desc, X asc within page — PdfSharpMaskApplicator.cs:65-68), offset =
@@ -37,7 +38,7 @@ import re
 import unicodedata
 from dataclasses import dataclass, field
 
-from pdfredact_spark.model import (
+from pdfredact_spark.spanmodel import (
     DECI,
     DEFAULT_PAGE_H,
     DEFAULT_PAGE_W,
@@ -61,6 +62,10 @@ from pdfredact_spark.model import (
 
 _WS = " \t"
 _WORD_RE = re.compile(r"[^ \t]+")
+# whitespace OTHER than space/tab (\n, \xa0, \f, ...): the data model
+# treats these as glyph characters (_WORD_RE), but str.split() does not —
+# pages containing them must take the general word path
+_ODD_WS_RE = re.compile(r"[^\S \t]")
 
 
 @dataclass(slots=True)
@@ -106,6 +111,8 @@ class PageCtx:
     marker_idx: int | None  # index into doc spans of the page marker
     text_idx: list[int] = field(default_factory=list)   # text span indices
     other_idx: list[int] = field(default_factory=list)  # media/other indices
+    band: int = 1  # offset band (offset // PAGE_BASE) — may differ from the
+    #                marker's DECLARED number on malformed docs
 
 
 # ---------------------------------------------------------------------------
@@ -143,7 +150,7 @@ def split_pages_cols(kinds: list, texts: list, offsets: list) -> list[PageCtx]:
         number = band if band >= 1 else 1
         ctx = pages.get(band)
         if ctx is None:
-            ctx = PageCtx(number, 0, DEFAULT_PAGE_W, DEFAULT_PAGE_H, None)
+            ctx = PageCtx(number, 0, DEFAULT_PAGE_W, DEFAULT_PAGE_H, None, band=band)
             pages[band] = ctx
         kind = kinds[i]
         if kind == "page":
@@ -357,12 +364,24 @@ def build_search_text(units: list[Unit]) -> tuple[str, list[int], list[int]]:
     return " ".join(parts) + (" " if parts else ""), starts, ends
 
 
+def _fold_1to1(s: str) -> str:
+    """LENGTH-PRESERVING case fold for ordinal-insensitive compare — the
+    .NET OrdinalIgnoreCase analog (per-char ToUpperInvariant, which never
+    expands). Python str.lower()/upper() can change length ('İ'.lower()
+    is 2 chars, 'ß'.upper() is 'SS'), which would shift match indices
+    against the original text and mask the WRONG glyphs; any char whose
+    uppercase expands is left as-is (ordinally distinct, like .NET)."""
+    return "".join(u if len(u := ch.upper()) == 1 else ch for ch in s)
+
+
 def find_matches(search_text: str, rule: Rule) -> list[tuple[int, int, str]]:
     """FindMatches (PdfPigTextLocator.cs:221-260) -> [(start, end, text)].
 
     Regex: Python re.finditer ~ .NET Regex.Matches with CultureInvariant
     (+IgnoreCase when case_sensitive=False). Literal: non-overlapping
-    IndexOf loop advancing by len(pattern)."""
+    IndexOf loop advancing by len(pattern). An empty literal pattern
+    matches nothing (str.find('') succeeds at every index and the skip
+    advance is zero — without the guard the loop never terminates)."""
     out: list[tuple[int, int, str]] = []
     if rule.is_regex:
         # BuildRegexOptions (:262-278): defaults = CultureInvariant
@@ -376,8 +395,10 @@ def find_matches(search_text: str, rule: Rule) -> list[tuple[int, int, str]]:
             out.append((m.start(), m.end(), m.group(0)))
     else:
         pat = rule.pattern
-        hay = search_text if rule.case_sensitive else search_text.lower()
-        needle = pat if rule.case_sensitive else pat.lower()
+        if not pat:
+            return out
+        hay = search_text if rule.case_sensitive else _fold_1to1(search_text)
+        needle = pat if rule.case_sensitive else _fold_1to1(pat)
         idx = 0
         while True:
             idx = hay.find(needle, idx)
@@ -511,6 +532,11 @@ def _locate_words_fast(
     for si in page.text_idx:
         _, x0, top, bottom = _offset_geom(offsets[si], page.height)
         t = texts[si]
+        if _ODD_WS_RE.search(t):
+            # \n/\xa0/... are glyphs in the data model but separators to
+            # str.split(): the segment text would diverge from the
+            # general path's word map — decline the page.
+            return None
         words = t.split()
         if not words:
             continue
@@ -686,7 +712,20 @@ def redact_document_cols(
     if not regions and not flatten:
         return list(kinds), list(texts), list(refs), list(offsets), [], 0
 
-    out = _apply_regions_cols(doc_id, kinds, texts, refs, offsets, regions)
+    if flatten:
+        # The splice output is discarded in flatten mode — run only its
+        # rotation fail-fast (PdfSharpMaskApplicator.cs:95-102 parity),
+        # not the full covered-glyph splice.
+        for r in regions:
+            if r.rotation != 0:
+                raise RotationError(
+                    f"Page rotation ({r.rotation}°) is not currently supported."
+                )
+    else:
+        out = _apply_regions_cols(
+            doc_id, kinds, texts, refs, offsets, regions,
+            page_heights={p.number: p.height for p in pages},
+        )
 
     if flatten:
         # FLATTEN_MODE.md:4-11 / north_star flatten events: each page's
@@ -702,7 +741,10 @@ def redact_document_cols(
                 ft.append(texts[mi])
                 fr.append(refs[mi])
                 fo.append(offsets[mi])
-            band = max(page.number, 1)
+            # band from the page's ACTUAL offset band: a marker declaring
+            # a different number must not teleport the flat media span to
+            # another page's offset range
+            band = max(page.band, 1)
             fk.append("media")
             ft.append("")
             fr.append(f"flat:{doc_id}:{page.number}")
@@ -734,6 +776,7 @@ def _apply_regions_cols(
     refs: list,
     offsets: list,
     regions: list[Region],
+    page_heights: dict[int, float] | None = None,
 ) -> tuple[list, list, list, list]:
     """Mask application core (PdfSharpMaskApplicator.cs:48-126 in span
     space): rotation fail-fast, deterministic W6 apply order (page asc,
@@ -764,9 +807,12 @@ def _apply_regions_cols(
             if min_off is None:
                 # Region covering no glyphs (possible via decoupled apply):
                 # the reference still draws the rect — emit the mask at its
-                # geometric position.
+                # geometric position, back-computed with the ACTUAL page
+                # height (a non-US-Letter page would otherwise place the
+                # mask rows away from its region).
+                page_h = (page_heights or {}).get(page_num, DEFAULT_PAGE_H)
                 band = max(page_num, 1)
-                row = max(0, round((DEFAULT_PAGE_H - TOP_MARGIN - (r.y + r.height)) / ROW_PITCH))
+                row = max(0, round((page_h - TOP_MARGIN - (r.y + r.height)) / ROW_PITCH))
                 min_off = band * PAGE_BASE + row * ROW_BASE + int(round(DECI * r.x))
             mask_refs.append(f"mask:{doc_id}:{page_num}:{seq}")
             mask_offs.append(int(min_off))
@@ -849,15 +895,24 @@ def apply_plan_cols(
         k, t, r, o = _sort_cols(kinds, texts, refs, offsets)
         return k, t, r, o, 0
 
-    pages = {p.number: p for p in split_pages_cols(kinds, texts, offsets)}
+    # Pages keyed by their DECLARED number; a number can map to several
+    # offset bands on malformed docs (band-0 implicit page + real page 1),
+    # and a plan region targeting that number must scan ALL of them —
+    # a plain dict would silently drop one band's glyphs from coverage.
+    all_pages = split_pages_cols(kinds, texts, offsets)
+    pages_by_number: dict[int, list[PageCtx]] = {}
+    for p in all_pages:
+        pages_by_number.setdefault(p.number, []).append(p)
     applied: list[Region] = []
     for r in regions:
-        page = pages.get(r.page)
-        if page is None:
+        matched = pages_by_number.get(r.page)
+        if not matched:
             continue  # P5: silently skip out-of-range pages
         chars = []
+        text_idx = [i for p in matched for i in p.text_idx]
+        page_height = matched[0].height
         for ch, left, right, bottom, top, si, ci in extract_letters(
-            texts, offsets, page.text_idx, page.height
+            texts, offsets, text_idx, page_height
         ):
             if (
                 right > r.x
@@ -874,7 +929,10 @@ def apply_plan_cols(
             )
         )
 
-    out = _apply_regions_cols(doc_id, kinds, texts, refs, offsets, applied)
+    out = _apply_regions_cols(
+        doc_id, kinds, texts, refs, offsets, applied,
+        page_heights={p.number: p.height for p in all_pages},
+    )
     k, t, rf, o = _sort_cols(*out)
     return k, t, rf, o, len(applied)
 

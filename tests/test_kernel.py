@@ -230,3 +230,112 @@ def test_rotation_failfast_only_for_regions_on_rotated_page():
     assert hits == 1
     assert all(r.page == 2 for r in regions)
     assert any(s["kind"] == "mask" for s in out)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 hardening regressions (whole-package review findings)
+# ---------------------------------------------------------------------------
+def test_empty_literal_pattern_matches_nothing():
+    # str.find('') succeeds at every index with a zero skip advance — the
+    # literal loop must not hang or emit matches for an empty pattern.
+    doc = demo_doc("el-1")
+    out, regions, hits = redact_document("el-1", doc["spans"], [Rule("")])
+    assert hits == 0 and regions == []
+
+
+def test_case_insensitive_fold_is_length_preserving():
+    # 'İ' (U+0130) lowercases to TWO chars; naive str.lower() shifts every
+    # match index after it and masks the wrong glyphs.
+    from pdfredact_spark.fixtures import page_span, text_span
+
+    doc = {
+        "doc_id": "tf-1",
+        "spans": [page_span(1), text_span(1, 0, 72.0, "İzmir SSN here")],
+    }
+    out, regions, _ = redact_document(
+        "tf-1", doc["spans"], [Rule("ssn", case_sensitive=False)]
+    )
+    assert len(regions) == 1
+    assert regions[0].matched_text == "ssn"
+    texts = [s["text"] for s in out if s["kind"] == "text"]
+    assert texts == ["İzmir", "here"]  # SSN masked, neighbors intact
+
+
+def test_exotic_whitespace_takes_general_path():
+    # \n and \xa0 are glyphs in the data model but separators to
+    # str.split(): fast and general paths must agree (fast declines).
+    from pdfredact_spark.fixtures import page_span, text_span
+
+    doc = {
+        "doc_id": "ws-2",
+        "spans": [page_span(1), text_span(1, 0, 72.0, "a\n\nb secret x\xa0y")],
+    }
+    import pdfredact_spark.kernel as K
+
+    out_f, reg_f, h_f = K.redact_document("ws-2", doc["spans"], [Rule("secret")])
+    real = K._locate_words_fast
+    K._locate_words_fast = lambda *a, **k: None
+    try:
+        out_g, reg_g, h_g = K.redact_document("ws-2", doc["spans"], [Rule("secret")])
+    finally:
+        K._locate_words_fast = real
+    assert h_f == h_g == 1
+    assert out_f == out_g
+
+
+def test_zero_glyph_mask_uses_actual_page_height():
+    # apply_plan on a tall page: a region covering no glyphs must place
+    # its mask row using the page's DECLARED height, not US-Letter.
+    from pdfredact_spark.kernel import Region, apply_plan
+    from pdfredact_spark.model import PAGE_BASE
+
+    tall_marker = {
+        "kind": "page", "text": "<page>:1:0:612:2000", "media_ref": "",
+        "offset": PAGE_BASE,
+    }
+    doc = [tall_marker]
+    region = Region(page=1, x=100.0, y=88.0, width=50.0, height=12.0,
+                    matched_text=None, rule_pattern=None, rotation=0)
+    out, n = apply_plan("zg-1", doc, [region])
+    assert n == 1
+    mask = [s for s in out if s["kind"] == "mask"][0]
+    # row = (2000 - 50 - (88+12)) / 20 = 92.5 -> round 92
+    assert (mask["offset"] % PAGE_BASE) // 100_000 == 92
+
+
+def test_band0_page_collision_covers_both_bands():
+    # A stray band-0 span (implicit page 1) plus a real page 1: a plan
+    # region for page 1 must scan glyphs from BOTH bands.
+    from pdfredact_spark.fixtures import page_span, text_span
+    from pdfredact_spark.kernel import Region, apply_plan
+    from pdfredact_spark.model import GLYPH_H, GLYPH_W, PAGE_BASE, row_top
+
+    stray = {"kind": "text", "text": "leak", "media_ref": "", "offset": 7200}
+    doc = [stray, page_span(1), text_span(1, 0, 720.0, "safe")]
+    top = row_top(0)
+    region = Region(page=1, x=720.0 - 1, y=top - GLYPH_H - 1,
+                    width=GLYPH_W * 4 + 2, height=GLYPH_H + 2,
+                    matched_text=None, rule_pattern=None, rotation=0)
+    out, n = apply_plan("b0-1", doc, [region])
+    assert n == 1
+    texts = [s["text"] for s in out if s["kind"] == "text"]
+    # both spans share the same geometry; the page-1 region must cover
+    # glyphs from BOTH offset bands (a number-keyed dict dropped one)
+    assert texts == []
+
+
+def test_flatten_band_follows_offsets_not_declared_number():
+    # A marker DECLARING page 3 but stored in band 1 must keep its flat
+    # media span in band 1 (teleporting it to band 3 would re-split onto
+    # a phantom page).
+    from pdfredact_spark.model import PAGE_BASE
+
+    weird_marker = {"kind": "page", "text": "<page>:3:0:612:792",
+                    "media_ref": "", "offset": PAGE_BASE}
+    doc = [weird_marker,
+           {"kind": "text", "text": "body", "media_ref": "", "offset": PAGE_BASE + 100}]
+    out, _, _ = redact_document("fb-1", doc, [], flatten=True)
+    media = [s for s in out if s["kind"] == "media"]
+    assert len(media) == 1
+    assert media[0]["offset"] // PAGE_BASE == 1  # stays in its real band
+    assert media[0]["media_ref"] == "flat:fb-1:3"  # ref keeps declared number

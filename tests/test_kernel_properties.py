@@ -240,3 +240,13 @@ def test_fast_path_equals_general_on_random_docs(doc, rs):
         K._locate_words_fast = real
     assert h_f == h_g
     assert out_fast == out_gen
+
+
+def test_mega_doc_offsets_stay_int32():
+    """Page 10 is row-capped so the biggest legal mega doc never exceeds
+    the int32 offset field (10*PAGE_BASE + row*ROW_BASE + x overflows at
+    page-10 rows >= 1475)."""
+    from pdfredact_spark.fixtures import mega_doc
+
+    d = mega_doc("big", 97_000)
+    assert max(s["offset"] for s in d["spans"]) <= 2**31 - 1
