@@ -53,7 +53,14 @@ class Catalog:
 
     def overwrite(self, df: DataFrame, target: str, partition_by: list[str] | None = None) -> None:
         if self._use_iceberg(target):
-            df.writeTo(target).createOrReplace()
+            w = df.writeTo(target)
+            if partition_by:
+                # keep the format-agnostic contract: the Iceberg table must
+                # be partitioned like the Parquet layout would be
+                from pyspark.sql.functions import col
+
+                w = w.partitionedBy(*[col(c) for c in partition_by])
+            w.createOrReplace()
             return
         w = df.write.mode("overwrite")
         if partition_by:

@@ -96,11 +96,7 @@ def media_metadata(docs: DataFrame) -> DataFrame:
     """Extract media spans, fetch payloads, and decode metadata via an
     Arrow-batched mapInPandas (one Python call per batch of media refs —
     the same shape a real thumbnailing/frame-sampling stage would use)."""
-    media = (
-        docs.select("doc_id", F.explode("spans").alias("s"))
-        .where(F.col("s.kind") == "media")
-        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
-    )
+    media = _media_refs(docs)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -61,12 +61,14 @@ def load_plan(file_path: str) -> tuple[str, list[Region]]:
         # raw KeyError/TypeError from the field access below.
         raise ValueError("Failed to deserialize redaction plan")
     regions = [
+        # Missing numeric properties default to 0, like the C# System.Text
+        # .Json deserializer's value-type defaults — never a raw KeyError.
         Region(
-            page=r["pageNumber"],
-            x=r["x"],
-            y=r["y"],
-            width=r["width"],
-            height=r["height"],
+            page=r.get("pageNumber", 0),
+            x=r.get("x", 0.0),
+            y=r.get("y", 0.0),
+            width=r.get("width", 0.0),
+            height=r.get("height", 0.0),
             matched_text=r.get("matchedText"),
             rule_pattern=r.get("rulePattern"),
             rotation=r.get("pageRotation", 0),

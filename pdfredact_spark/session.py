@@ -30,7 +30,8 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER") or None
     if shuffle_partitions is None:
         if master and master.startswith("local["):
-            inner = master[6:-1]
+            # local[N] or local[N,maxFailures] or local[*]
+            inner = master[6:-1].split(",")[0]
             cores = os.cpu_count() or 8 if inner == "*" else int(inner)
             shuffle_partitions = max(8, 2 * cores)
         else:

@@ -31,3 +31,13 @@ def test_media_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"payload", fake=False)
+
+
+def test_session_parses_local_with_max_failures(spark):
+    # local[N,maxFailures] is valid Spark master syntax; get_spark must not
+    # crash deriving the shuffle-partition default from it (getOrCreate
+    # returns the existing session, but the parse runs first)
+    from pdfredact_spark.session import get_spark
+
+    s = get_spark(master="local[4,2]", app_name="parse-probe")
+    assert s is spark

@@ -69,3 +69,14 @@ def test_missing_properties_take_model_defaults(tmp_path):
     doc_id, regions = load_plan(path)
     assert doc_id == ""
     assert regions == []
+
+
+def test_region_missing_numeric_properties_default_to_zero(tmp_path):
+    # C# System.Text.Json: missing value-type properties default to 0.
+    path = str(tmp_path / "sparse.json")
+    open(path, "w").write(
+        '{"sourcePdfPath": "d", "regions": [{"pageNumber": 2}]}'
+    )
+    doc_id, regions = load_plan(path)
+    r = regions[0]
+    assert (r.page, r.x, r.y, r.width, r.height, r.rotation) == (2, 0.0, 0.0, 0.0, 0.0, 0)
