@@ -63,6 +63,11 @@ def test_mega_corpus_task_balance(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     stats = json.loads(res.stdout.strip().splitlines()[-1])
     median, worst = stats["median"], stats["max"]
-    # generous bound (clause says 4x; absolute floor tolerates scheduling
-    # noise on sub-second tasks)
-    assert worst <= max(4 * median, median + 2.0), stats
+    # The property guarded: a mega doc must not create a runaway straggler
+    # (the round-0 regression was 37s vs a 13s median). The mega task's
+    # absolute floor is its JVM-side nested-parquet encode (~3s for a
+    # 24k-span row on this host, measured; the Python stage is 0.27s), a
+    # FIXED cost that doesn't shrink as the median does on a fast machine,
+    # so the bound needs an absolute grace above that floor, not only a
+    # multiple of the (machine-speed-scaled) median.
+    assert worst <= max(4 * median, median + 4.0), stats
