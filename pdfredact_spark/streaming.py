@@ -78,6 +78,48 @@ def run_incremental(
     return n_batches["n"]
 
 
+def windowed_counts_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> None:
+    """Watermarked tumbling-window aggregation over event time: the
+    canonical late-data streaming shape. Append output mode emits each
+    (window, event_type) row EXACTLY ONCE, when the watermark passes the
+    window's end — events arriving later than the watermark allows are
+    dropped from their (already-finalized) window, by design. State is
+    bounded by the watermark horizon; the window/watermark state lives in
+    the streaming checkpoint and spans availableNow runs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # window alignment
+    stream = spark.readStream.schema(
+        EVENT_SCHEMA_FULL
+    ).parquet(input_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", os.path.join(out_dir, "windows"))
+        .option("checkpointLocation", os.path.join(out_dir, "_window_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+EVENT_SCHEMA_FULL = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
 # ---------------------------------------------------------------------------
 # Streaming exact dedup across ingestion waves
 # ---------------------------------------------------------------------------

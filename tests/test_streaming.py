@@ -142,3 +142,40 @@ def test_dedup_stream_retry_after_lost_wal_commit(spark, tmp_path):
     dedup_stream(spark, in_dir, out_dir)
     replay = sorted(r["doc_id"] for r in spark.read.parquet(out_dir + "/data").collect())
     assert replay == [1, 2]  # not emptied by self-anti-join
+
+
+def test_windowed_counts_stream_watermark_semantics(spark, tmp_path):
+    """Watermarked tumbling windows: append mode emits a window exactly
+    once when the watermark passes it, and an event arriving later than
+    the watermark allows is DROPPED from its finalized window."""
+    import datetime as dt
+
+    from pdfredact_spark.streaming import windowed_counts_stream
+
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "win")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def ev(eid, hours_min, etype="click"):
+        h, m = hours_min
+        return (eid, t0 + dt.timedelta(hours=h, minutes=m), 1, etype, 1.0)
+
+    # wave 1: two events in hour 0, one in hour 3 (advances watermark to ~2h)
+    w1 = [ev(1, (0, 5)), ev(2, (0, 40)), ev(3, (3, 0))]
+    spark.createDataFrame(w1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    windowed_counts_stream(spark, in_dir, out_dir)
+    got1 = {(r.window_start, r.event_type): r.n
+            for r in spark.read.parquet(out_dir + "/windows").collect()}
+    # watermark = 3:00 - 1h = 2:00 > hour-0 window end -> hour 0 finalized
+    assert got1 == {("2026-01-01 00:00:00", "click"): 2}
+
+    # wave 2: a LATE event for hour 0 (older than the watermark -> dropped)
+    # plus an event at hour 6 that finalizes the hour-3 window
+    w2 = [ev(4, (0, 50)), ev(5, (6, 0))]
+    spark.createDataFrame(w2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    windowed_counts_stream(spark, in_dir, out_dir)
+    got2 = {(r.window_start, r.event_type): r.n
+            for r in spark.read.parquet(out_dir + "/windows").collect()}
+    assert got2[("2026-01-01 00:00:00", "click")] == 2  # late event DROPPED
+    assert got2[("2026-01-01 03:00:00", "click")] == 1  # hour-3 finalized
