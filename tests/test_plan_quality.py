@@ -105,6 +105,21 @@ def test_dedup_embedding_cosine_no_bnlj(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_exact_selection_has_no_per_group_sort_funnel(spark):
+    """Exact median/quartiles must NOT rank via Window.partitionBy(group)
+    alone: that sends each group's entire data through one task's sort,
+    capping parallelism at #groups (3 return flags) no matter the cluster
+    size. The _rank_select form windows over (partition_id, group), so
+    every windowspecdefinition in the plan must lead with pid."""
+    from pdfredact_spark.queries import q_exact_quartiles, q_upper_median
+
+    for fn in (q_upper_median, q_exact_quartiles):
+        plan = plan_of(fn(spark, SF_DIR))
+        specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+        assert specs, plan
+        assert all(s == "pid" for s in specs), specs
+
+
 def test_topk_queries_use_take_ordered(spark):
     """Top-k must compile to TakeOrderedAndProject (distributed heaps),
     never an unpartitioned row_number window that funnels every candidate
