@@ -24,3 +24,64 @@ def test_lsh_returns_ranked_candidates(spark):
     lsh = q_ann_lsh_topk(spark, SF_DIR).collect()
     assert 1 <= len(lsh) <= 10
     assert [r["rank"] for r in lsh] == list(range(1, len(lsh) + 1))
+
+
+def test_multiprobe_recall_strictly_beats_single_probe(spark, tmp_path):
+    """Single-probe LSH has a recall cliff at hyperplane boundaries: the
+    true nearest neighbor can differ from the query in exactly one
+    projection sign and is then never a candidate. This fixture crafts
+    that case deterministically — v = q reflected across plane 0 (cosine
+    0.9994, Hamming-1 bucket) — and asserts the Hamming-1 multi-probe set
+    recovers it while the single-probe plan provably cannot."""
+    import numpy as np
+
+    from pdfredact_spark.queries import (
+        _LSH_PROBE_MASKS,
+        _SIGN_PLANE,
+        _ann_lsh_topk_impl,
+    )
+
+    dim = 8
+    W = np.array([_SIGN_PLANE(str(p))[:dim] for p in range(4)])
+    r = np.array([1.0, 0.5, -0.3, 0.8, 0.2, -0.6, 0.4, 0.9])
+    b = r - (r @ W[0] / (W[0] @ W[0])) * W[0]  # proj_0(b) == 0
+    q, v = b + 0.01 * W[0], b - 0.01 * W[0]
+
+    def bucket(x):
+        p = W @ x
+        return sum((1 << i) for i in range(4) if p[i] > 0)
+
+    # fixture preconditions: v flips EXACTLY plane 0 and is the clear
+    # nearest neighbor of q
+    sq, sv = np.sign(W @ q), np.sign(W @ v)
+    assert sq[0] > 0 > sv[0] and (sq[1:] == sv[1:]).all()
+    cos_qv = q @ v / (np.linalg.norm(q) * np.linalg.norm(v))
+    assert cos_qv > 0.999
+
+    fillers = [q + 0.2 * np.roll(b, j) for j in range(1, 6)]  # some in q's bucket
+    fillers += [
+        np.roll(r, i % dim) + 0.07 * ((i % 9) - 4) * np.roll(b, (i * 3) % dim)
+        for i in range(30)
+    ]
+    assert any(bucket(f) == bucket(q) for f in fillers)  # single-probe non-empty
+    assert max(
+        f @ q / (np.linalg.norm(f) * np.linalg.norm(q)) for f in fillers
+    ) < cos_qv
+
+    rows = [(0, [float(x) for x in q], 0), (1, [float(x) for x in v], 0)] + [
+        (i + 2, [float(x) for x in f], 0) for i, f in enumerate(fillers)
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    d = str(tmp_path)
+
+    brute = _topk_ids(q_ann_cosine_topk(spark, d))
+    single = _topk_ids(_ann_lsh_topk_impl(spark, d, (0,)))
+    multi = _topk_ids(_ann_lsh_topk_impl(spark, d, _LSH_PROBE_MASKS))
+
+    assert 1 in brute  # v is the true top-1
+    assert 1 not in single and 1 in multi
+    assert single  # the cliff, not an empty bucket, is what single-probe shows
+    recall_single = len(single & brute) / len(brute)
+    recall_multi = len(multi & brute) / len(brute)
+    assert recall_multi > recall_single
