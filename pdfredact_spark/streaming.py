@@ -126,6 +126,26 @@ EVENT_SCHEMA_FULL = "event_id long, ts timestamp, user_id long, event_type strin
 DOCS_TABLE_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
+def ledger_scan(
+    spark: SparkSession,
+    ledger_dir: str,
+    exclude_batch: int | None = None,
+    prefixes: list[str] | None = None,
+) -> DataFrame:
+    """Fingerprint-ledger read with PARTITION PRUNING: the ledger is laid
+    out as ledger/batch=N/pfx=H (H = first hex char of the fingerprint,
+    16 values), so filtering on the batch's actual prefixes prunes whole
+    directories at plan time — the scan cost per micro-batch is bounded
+    by the batch's prefix spread, not the ledger's total size (round-2
+    verdict #5: the unpartitioned ledger re-read grew linearly forever)."""
+    df = spark.read.parquet(ledger_dir)
+    if exclude_batch is not None:
+        df = df.where(F.col("batch") != exclude_batch)
+    if prefixes is not None:
+        df = df.where(F.col("pfx").isin(prefixes))
+    return df
+
+
 def dedup_stream(spark: SparkSession, input_path: str, out_dir: str) -> int:
     """Streaming exact dedup over a continuously-ingested documents table:
     each micro-batch keeps one row per content fingerprint (min doc_id —
@@ -135,10 +155,12 @@ def dedup_stream(spark: SparkSession, input_path: str, out_dir: str) -> int:
 
     The documents table has no event time, so watermark-bounded
     dropDuplicates state doesn't apply; the ledger IS the state, and it
-    survives restarts for free because it's the output. At 100 TB the
-    anti-join shuffles only (fp, doc_id) pairs; a production deployment
-    would front it with a bloom filter per ledger partition, same plan
-    shape. Returns the number of micro-batches executed.
+    survives restarts for free because it's the output. The ledger is
+    partitioned by fingerprint prefix (see ledger_scan), so each batch
+    anti-joins only the ledger partitions whose prefixes the batch
+    actually contains — at 100 TB the per-batch ledger scan is pruned at
+    plan time instead of re-reading the full history. Returns the number
+    of micro-batches executed.
     """
     from pyspark.sql.window import Window
 
@@ -154,17 +176,22 @@ def dedup_stream(spark: SparkSession, input_path: str, out_dir: str) -> int:
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .drop("rn")
+            # 'x' guard keeps the partition value non-numeric: an all-digit
+            # hex prefix would otherwise be type-inferred as INT on read
+            # and break the string prefix filter
+            .withColumn("pfx", F.concat(F.lit("x"), F.substring("fp", 1, 1)))
         )
         if os.path.isdir(ledger_dir):
+            # Bounded collect: at most 16 one-char prefix rows — the price
+            # of pruning the ledger read to the batch's prefixes.
+            pfxs = [r["pfx"] for r in fresh.select("pfx").distinct().collect()]
             # No broadcast hint: the ledger grows without bound — AQE
             # broadcasts it while small and shuffle-joins once it isn't.
             # EXCLUDE this batch's own partition: a foreachBatch retry
             # that crashed after the ledger write but before the WAL
             # commit would otherwise anti-join the batch against its own
             # fingerprints and overwrite data/batch=N with nothing.
-            seen = spark.read.parquet(ledger_dir).where(
-                F.col("batch") != batch_id
-            )
+            seen = ledger_scan(spark, ledger_dir, exclude_batch=batch_id, prefixes=pfxs)
             fresh = fresh.join(seen.select("fp"), "fp", "left_anti")
         # Materialize once: the ledger write must list exactly the rows
         # the data write emitted (two actions on one lineage could pick
@@ -173,12 +200,12 @@ def dedup_stream(spark: SparkSession, input_path: str, out_dir: str) -> int:
         # (append mode would double-emit the batch).
         fresh.persist()
         try:
-            fresh.drop("fp").write.mode("overwrite").parquet(
+            fresh.drop("fp", "pfx").write.mode("overwrite").parquet(
                 os.path.join(data_dir, f"batch={batch_id}")
             )
-            fresh.select("fp").write.mode("overwrite").parquet(
-                os.path.join(ledger_dir, f"batch={batch_id}")
-            )
+            fresh.select("fp", "pfx").write.partitionBy("pfx").mode(
+                "overwrite"
+            ).parquet(os.path.join(ledger_dir, f"batch={batch_id}"))
         finally:
             fresh.unpersist()
         n_batches["n"] += 1

@@ -144,6 +144,44 @@ def test_dedup_stream_retry_after_lost_wal_commit(spark, tmp_path):
     assert replay == [1, 2]  # not emptied by self-anti-join
 
 
+def test_dedup_ledger_scan_prunes_prefix_partitions(spark, tmp_path):
+    """The fingerprint ledger must be read with PLAN-TIME partition
+    pruning on the fp prefix (ledger/batch=N/pfx=H layout): the scan's
+    PartitionFilters must carry the pfx predicate, so a micro-batch
+    anti-joins only the ledger slices it can possibly collide with
+    instead of re-reading the full history every batch."""
+    import hashlib
+
+    from pdfredact_spark.streaming import dedup_stream, ledger_scan
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "dedup")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    texts = ["alpha", "beta", "gamma", "delta"]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    dedup_stream(spark, in_dir, out_dir)
+
+    ledger_dir = out_dir + "/ledger"
+    all_pfx = {"x" + hashlib.md5(t.encode()).hexdigest()[0] for t in texts}
+    assert len(all_pfx) >= 2  # the fixture must actually spread prefixes
+    one = "x" + hashlib.md5(b"alpha").hexdigest()[0]
+
+    pruned = ledger_scan(spark, ledger_dir, prefixes=[one])
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "pfx" in plan.split("PartitionFilters")[1][:200], plan
+
+    rows = pruned.collect()
+    assert rows and all(r["fp"].startswith(one[1:]) for r in rows)
+    # pruning is real: the unfiltered ledger holds more prefixes
+    full_pfx = {r["pfx"] for r in ledger_scan(spark, ledger_dir).collect()}
+    assert full_pfx == all_pfx and {r["pfx"] for r in rows} < full_pfx
+
+
 def test_windowed_counts_stream_watermark_semantics(spark, tmp_path):
     """Watermarked tumbling windows: append mode emits a window exactly
     once when the watermark passes it, and an event arriving later than
