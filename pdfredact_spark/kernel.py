@@ -887,13 +887,17 @@ def apply_plan_cols(
     draw rectangle.
 
     Out-of-range pages are silently skipped (P5,
-    PdfSharpMaskApplicator.cs:57-60); zero regions -> verbatim copy
-    (ApplyCommand.cs:65-69). Returns (kinds, texts, refs, offsets,
-    n_regions_applied) sorted by (offset, kind, media_ref, text).
+    PdfSharpMaskApplicator.cs:57-60); zero regions -> VERBATIM copy in
+    input order (ApplyCommand.cs:65-69 File.Copy — the fused path's
+    zero-region branch behaves identically, so redact --save-plan and
+    plain redact round-trip a non-canonically-ordered doc the same way).
+    A non-empty plan whose regions all miss still re-serializes (sorts)
+    the doc, like the reference applicator re-saving the PDF. Returns
+    (kinds, texts, refs, offsets, n_regions_applied) sorted by
+    (offset, kind, media_ref, text) whenever the applicator ran.
     """
     if not regions:
-        k, t, r, o = _sort_cols(kinds, texts, refs, offsets)
-        return k, t, r, o, 0
+        return list(kinds), list(texts), list(refs), list(offsets), 0
 
     # Pages keyed by their DECLARED number; a number can map to several
     # offset bands on malformed docs (band-0 implicit page + real page 1),

@@ -82,9 +82,11 @@ def resize_media(
 
 
 def sample_frame_indices(n_frames: int, k: int = 4) -> list[int]:
-    """Uniform stride frame sampling: at most k frames, always frame 0."""
-    stride = max(1, n_frames // k)
-    return list(range(0, n_frames, stride))[:k]
+    """Uniformly-spread frame sampling: at most k frames, always frame 0,
+    indices i*n//k so coverage spans the whole clip (the former
+    stride-from-0 form was front-biased — n=15, k=4 gave [0,3,6,9],
+    never sampling the last 5 frames; this gives [0,3,7,11])."""
+    return sorted({i * n_frames // k for i in range(k) if i * n_frames // k < n_frames})
 
 
 def frame_digest(payload: bytes, idx: int) -> str:

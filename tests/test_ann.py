@@ -26,6 +26,44 @@ def test_lsh_returns_ranked_candidates(spark):
     assert [r["rank"] for r in lsh] == list(range(1, len(lsh) + 1))
 
 
+def test_embedding_dedup_catches_genuinely_perturbed_pair(spark, tmp_path):
+    """The banded sign-LSH near-dup finder's oracle parity on the driver
+    corpus is data-dependent: its qualifying pairs there are exact copies
+    (every sign bit trivially agrees). This fixture pins recall on a
+    GENUINELY non-identical pair — v2 = v + 0.02-scaled perturbation,
+    cosine 0.99997 — verifying the band prefilter keeps pairs whose
+    projections don't cross a hyperplane (the documented recall limit is
+    pairs that DO cross one in every band)."""
+    import numpy as np
+
+    from pdfredact_spark.queries import _SIGN_PLANE, q_dedup_embedding_cosine
+
+    dim = 16
+    W = np.array([_SIGN_PLANE(f"e{p}")[:dim] for p in range(16)])
+    v = np.array([1.0, -0.4, 0.7, 0.3, -0.8, 0.5, -0.2, 0.9,
+                  0.6, -0.5, 0.35, -0.75, 0.15, 0.85, -0.3, 0.45])
+    d = np.array([(-1) ** i * (0.3 + 0.04 * i) for i in range(dim)])
+    v2 = v + 0.02 * d / np.linalg.norm(d)
+    # preconditions on the float32 values actually stored in parquet
+    v32, v232 = v.astype(np.float32).astype(float), v2.astype(np.float32).astype(float)
+    assert not np.allclose(v32, v232)  # genuinely non-identical
+    u, u2 = v32 / np.linalg.norm(v32), v232 / np.linalg.norm(v232)
+    assert u @ u2 > 0.999
+    assert (np.sign(W @ u) == np.sign(W @ u2)).all()  # no hyperplane crossed
+
+    fillers = [np.roll(v, j) * (1 + 0.3 * j) for j in range(1, 12)]
+    rows = [(200, [float(x) for x in v], 0), (201, [float(x) for x in v2], 0)] + [
+        (100 + j, [float(x) for x in f], 0) for j, f in enumerate(fillers)
+    ]
+    spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             q_dedup_embedding_cosine(spark, str(tmp_path)).collect()}
+    assert (200, 201) in pairs
+
+
 def test_multiprobe_recall_strictly_beats_single_probe(spark, tmp_path):
     """Single-probe LSH has a recall cliff at hyperplane boundaries: the
     true nearest neighbor can differ from the query in exactly one

@@ -114,6 +114,26 @@ def test_locate_apply_equals_fused(doc):
 # ---------------------------------------------------------------------------
 # Edge cases
 # ---------------------------------------------------------------------------
+def test_zero_region_passthrough_verbatim_in_both_paths():
+    """File.Copy parity (ApplyCommand.cs:65-69): a doc whose spans are NOT
+    in canonical order must round-trip VERBATIM through both the fused
+    path and the decoupled apply when nothing matches. The paths used to
+    diverge (fused verbatim, apply re-sorted), so `redact --save-plan`
+    reordered zero-region docs that plain `redact` passed through."""
+    from pdfredact_spark.kernel import apply_plan
+
+    spans = [text_span(1, 2, 72.0, "beta"), page_span(1), text_span(1, 0, 72.0, "alpha")]
+    key = lambda ss: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in ss]
+    assert key(spans) != key(sorted(spans, key=lambda s: s["offset"]))  # really out of order
+
+    fused, regions, hits = redact_document("oo-1", spans, [Rule("zzz-no-match")])
+    assert regions == [] and hits == 0
+    applied, n = apply_plan("oo-1", spans, [])
+    assert n == 0
+    assert key(fused) == key(spans)
+    assert key(applied) == key(spans)
+
+
 def test_unicode_nd_digits_fragment_router():
     # Arabic-Indic digits are Unicode Nd -> numeric-literal auto-detect fires
     assert Rule("١٢٣").use_fragment_mode() is True
