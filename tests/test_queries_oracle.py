@@ -82,3 +82,55 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     assert set(df.columns) == {"doc_id", "n_masks", "n_spans"}
     assert sum(r["n_masks"] for r in rows) > 0  # flagship actually redacts
+
+
+def test_interval_overlap_boundary_refine_on_misaligned_orders(spark, tmp_path):
+    """The hierarchical day-binned interval join splits each order into
+    fully-covered days (joined against the per-day aggregate) plus
+    partial boundary days (event-grain refine). The driver corpus is all
+    midnight-aligned, so this fixture pins the boundary branch: a
+    13:30-anchored order must count events by the exact half-open
+    [D, D+7) window, not whole days."""
+    import datetime as dt
+
+    import duckdb
+
+    from pdfredact_spark.queries import (
+        _EVENT_EPOCH_SHIFT_US,
+        ORACLE_SQL,
+        q_interval_overlap_join,
+    )
+
+    shift = dt.timedelta(microseconds=_EVENT_EPOCH_SHIFT_US)
+    D = dt.datetime(1997, 6, 10, 13, 30)  # misaligned
+    A = dt.datetime(1997, 6, 20)  # aligned control
+    orders = [(1, D), (2, A)]
+    # event targets probe every boundary of order 1's [D, D+7) window
+    targets = [
+        D - dt.timedelta(microseconds=1),          # out (before)
+        D,                                         # in  (half-open start)
+        D + dt.timedelta(hours=3),                 # in  (first partial day)
+        dt.datetime(1997, 6, 12, 0, 0),            # in  (full day)
+        D + dt.timedelta(days=7, microseconds=-1), # in  (last partial day)
+        D + dt.timedelta(days=7),                  # out (half-open end)
+        A + dt.timedelta(days=3),                  # order 2 only
+    ]
+    events = [(i, t + shift) for i, t in enumerate(targets)]
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.createDataFrame(orders, "o_orderkey long, o_orderdate timestamp_ntz") \
+        .write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(events, "event_id long, ts timestamp_ntz") \
+        .write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {r["o_orderkey"]: r["n_events"]
+           for r in q_interval_overlap_join(spark, str(tmp_path)).collect()}
+    assert got == {1: 4, 2: 1}
+
+    con = duckdb.connect()
+    for t in ("orders", "events"):
+        con.execute(  # Spark writes a directory; duckdb needs the glob
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    oracle = {k: v for k, v in con.execute(ORACLE_SQL["interval_overlap_join"]).fetchall()}
+    assert got == oracle
