@@ -1,0 +1,57 @@
+"""Edge cases for the distributed helpers added in round 3:
+_rank_select (exact rank selection with parallelism independent of
+#groups) and _connected_components (bulk-synchronous min-label CC)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdfredact_spark.queries import _connected_components, _rank_select
+
+
+def _median_ground_truth(values):
+    s = sorted(values)
+    return s[len(s) // 2]  # A5 upper median: sorted[n//2], 0-based
+
+
+def test_rank_select_edge_groups(spark):
+    """Singleton group, all-equal values, heavy ties straddling partition
+    boundaries, negative values — rank selection must match the local
+    sorted[n//2] ground truth for every group."""
+    data = (
+        [("single", 7.0)]
+        + [("equal", 3.0)] * 97
+        + [("ties", float(v)) for v in ([1] * 40 + [2] * 40 + [3] * 40)]
+        + [("neg", float(v)) for v in range(-50, 13)]
+    )
+    df = spark.createDataFrame(data, "g string, v double").repartition(16)
+    got = {
+        r["g"]: r["v"]
+        for r in _rank_select(df, "g", "v", {"median": 0.5}).collect()
+    }
+    by_group: dict = {}
+    for g, v in data:
+        by_group.setdefault(g, []).append(v)
+    want = {g: _median_ground_truth(vs) for g, vs in by_group.items()}
+    assert got == want
+
+
+def test_rank_select_multiple_targets_can_share_a_rank(spark):
+    """A 2-row group puts p25/p50 on the same rank: both tags must still
+    come back (the broadcast target join duplicates the picked row)."""
+    df = spark.createDataFrame([("g", 1.0), ("g", 9.0)], "g string, v double")
+    sel = _rank_select(df, "g", "v", {"q25": 0.25, "q50": 0.50, "q75": 0.75})
+    got = {(r["g"], r["tag"]): r["v"] for r in sel.collect()}
+    # n=2: floor(2*.25)+1 = 1, floor(2*.5)+1 = 2, floor(2*.75)+1 = 2
+    assert got == {("g", "q25"): 1.0, ("g", "q50"): 9.0, ("g", "q75"): 9.0}
+
+
+def test_connected_components_multi_round_chain(spark):
+    """A chain a-b-c-d-e has diameter 4: min-label propagation must take
+    several rounds to pull the min id to the far end (the driver corpus
+    only produces diameter-1 clusters, so this path needs its own pin)."""
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (1, 0), (10, 11)], "src long, dst long"
+    )
+    labels = {r["node"]: r["label"] for r in _connected_components(edges).collect()}
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
