@@ -217,3 +217,39 @@ def test_windowed_counts_stream_watermark_semantics(spark, tmp_path):
             for r in spark.read.parquet(out_dir + "/windows").collect()}
     assert got2[("2026-01-01 00:00:00", "click")] == 2  # late event DROPPED
     assert got2[("2026-01-01 03:00:00", "click")] == 1  # hour-3 finalized
+
+
+def test_dedup_stream_five_wave_ledger_soak(spark, tmp_path):
+    """Five ingestion waves with within-wave and cross-wave duplicates:
+    the prefix-pruned ledger must keep exactly the first occurrence of
+    each text (min doc_id within its arrival wave; earliest wave wins),
+    exercising the pruned anti-join over a multi-batch ledger layout."""
+    from pdfredact_spark.streaming import dedup_stream
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    in_dir, out_dir = str(tmp_path / "docs"), str(tmp_path / "dd")
+    waves = [
+        [(3, "t0"), (2, "t1"), (1, "t0")],   # within-wave dup, min id kept
+        [(4, "t1"), (5, "t2"), (6, "t3")],   # t1 is a cross-wave dup
+        [(7, "t3"), (9, "t4"), (8, "t4")],
+        [(10, "t0"), (11, "t5")],
+        [(12, "t6"), (13, "t2"), (14, "t7")],
+    ]
+    expected: dict = {}
+    for w in waves:
+        first_here: dict = {}
+        for d, t in w:
+            if t in expected:
+                continue
+            if t not in first_here or d < first_here[t]:
+                first_here[t] = d
+        expected.update(first_here)
+
+    for w in waves:
+        rows = [(d, t, "en", "s", len(t)) for d, t in w]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(in_dir)
+        assert dedup_stream(spark, in_dir, out_dir) >= 1
+
+    got = {r["text"]: r["doc_id"]
+           for r in spark.read.parquet(out_dir + "/data").collect()}
+    assert got == expected
