@@ -6,10 +6,11 @@
   lifecycle, RedactCommand.cs:126-225), returning per-doc mask summaries.
 - ``queries()``: one entry per implemented operator family
   (SURVEY.md §2 + training-data-pipeline operators).
-- ``oracle_sql()``: DuckDB twins. Pipeline queries that are not
-  SQL-expressible get kernel-computed VALUES oracles (see
-  pdfredact_spark/corpus_queries.py for why that is a real check);
-  ``ann_lsh_topk`` is rows-only (approximate bucket recall).
+- ``oracle_sql()``: DuckDB twins for EVERY query. Pipeline queries that
+  are not SQL-expressible get kernel-computed VALUES oracles (see
+  pdfredact_spark/corpus_queries.py for why that is a real check); the
+  approximate-ANN paths replay their md5-parity bucketing in SQL, so
+  they hash-check too.
 """
 
 from __future__ import annotations

@@ -129,3 +129,25 @@ def test_topk_queries_use_take_ordered(spark):
     for name in ["ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "top_customers"]:
         plan = plan_of(SQL_QUERIES[name](spark, SF_DIR))
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_interval_overlap_day_aggregate_broadcasts(spark):
+    """The hierarchical interval rollup must join the tiny per-day event
+    aggregate by broadcast and never fall back to a nested-loop or
+    cartesian shape (the pair-materializing plan it replaced)."""
+    from pdfredact_spark.queries import SQL_QUERIES
+
+    plan = plan_of(SQL_QUERIES["interval_overlap_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ngram_jaccard_stays_equi_join(spark):
+    """The df-capped shingle self-join must remain a hash equi-join on
+    the shingle key — no nested-loop pair scan."""
+    from pdfredact_spark.queries import SQL_QUERIES
+
+    plan = plan_of(SQL_QUERIES["dedup_ngram_jaccard"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
