@@ -88,10 +88,28 @@ def run_resumable(
 
     processed = 0
     for batch_id in batch_ids:
-        if batch_id in done:
-            continue
         lo = batch_id * buckets_per_batch
         hi = min(lo + buckets_per_batch, n_buckets)
+        if batch_id in done:
+            # Config-drift guard: a committed manifest written under a
+            # DIFFERENT (n_buckets, buckets_per_batch) covers different
+            # bucket ranges — silently skipping it would drop or double
+            # documents. Resume must use the original partitioning.
+            with open(os.path.join(_commit_dir(out_dir), f"batch-{batch_id}.json")) as f:
+                manifest = json.load(f)
+            if manifest.get("buckets") != list(range(lo, hi)) or (
+                # the modulus matters even when ranges coincide: batch 0
+                # is [0,4) under both n_buckets=8 and 16, but pmod(h,8)
+                # and pmod(h,16) assign DIFFERENT documents to it
+                manifest.get("n_buckets", n_buckets) != n_buckets
+            ):
+                raise ValueError(
+                    f"batch {batch_id} was committed for buckets "
+                    f"{manifest.get('buckets')} of {manifest.get('n_buckets')} "
+                    f"but this run derives {list(range(lo, hi))} of {n_buckets} "
+                    f"— resume with the original n_buckets/buckets_per_batch"
+                )
+            continue
         batch = docs.filter((F.col("bucket") >= lo) & (F.col("bucket") < hi))
         # Materialize the single-pass result ONCE; good/error views are then
         # derived from the written files (no recompute of the Python stage).
@@ -155,6 +173,7 @@ def run_resumable(
                 "run_id": run_id,
                 "batch_id": batch_id,
                 "buckets": list(range(lo, hi)),
+                "n_buckets": n_buckets,
                 "n_errors": n_errors,
                 "errors": [{"doc_id": r["doc_id"], "error": r["error"]} for r in err_rows],
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -96,3 +96,25 @@ def test_error_quarantine_readback(spark, tmp_path):
     errs = read_errors(spark, out_dir).collect()
     assert [e["doc_id"] for e in errs] == ["rot-q"]
     assert "rotation" in errs[0]["error"].lower()
+
+
+def test_resume_rejects_bucket_config_drift(spark, tmp_path):
+    """A committed manifest records which buckets its batch covered;
+    resuming under a different (n_buckets, buckets_per_batch) would skip
+    batches that covered DIFFERENT data — must fail loudly, not drop or
+    double documents."""
+    import pytest
+
+    from pdfredact_spark.checkpoint import run_resumable
+    from pdfredact_spark.fixtures import SSN_RULE, corpus
+    from pdfredact_spark.pipeline import docs_to_df
+
+    out = str(tmp_path / "o")
+    docs = docs_to_df(spark, corpus(12))
+    run_resumable(spark, docs, out, [SSN_RULE], n_buckets=8, buckets_per_batch=4)
+
+    # same config resumes fine (no-op)
+    run_resumable(spark, docs, out, [SSN_RULE], n_buckets=8, buckets_per_batch=4)
+
+    with pytest.raises(ValueError, match="resume with the original"):
+        run_resumable(spark, docs, out, [SSN_RULE], n_buckets=16, buckets_per_batch=4)
