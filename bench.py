@@ -42,9 +42,9 @@ BENCH_QUERIES = [
     "gap_sessionize",
     "interval_overlap_join",
     "asof_join",
-    "upper_median",
+    "exact_quartiles",
     "prefix_sum_offsets",
-    "rollup_counts",
+    "grouping_sets_counts",
     "top_customers",
     "shipping_priority",
     "local_supplier_volume",
@@ -57,7 +57,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "winnowing_fingerprints",
     "decontaminate_blocklist",
-    "deterministic_sample",
+    "hash_sample",
     "chunk_documents",
     "repetition_filter",
     "decontaminate_ngram_overlap",

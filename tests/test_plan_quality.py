@@ -106,18 +106,56 @@ def test_dedup_embedding_cosine_no_bnlj(spark):
 
 
 def test_exact_selection_has_no_per_group_sort_funnel(spark):
-    """Exact median/quartiles must NOT rank via Window.partitionBy(group)
-    alone: that sends each group's entire data through one task's sort,
-    capping parallelism at #groups (3 return flags) no matter the cluster
-    size. The _rank_select form windows over (partition_id, group), so
-    every windowspecdefinition in the plan must lead with pid."""
+    """Exact median/quartiles must NOT rank raw rows via
+    Window.partitionBy(group): that sends each group's entire data
+    through one task's sort, capping parallelism at #groups (3 return
+    flags) no matter the cluster size. l_quantity is a bounded domain,
+    so _rank_select takes regime A: the heavy pass is a partial+final
+    HashAggregate pair down to (group, value) FREQUENCY rows, and the
+    only window (the running sum) consumes those aggregate rows — in
+    formatted explain (root first, children after) a HashAggregate must
+    therefore appear BELOW the Window node."""
     from pdfredact_spark.queries import q_exact_quartiles, q_upper_median
 
     for fn in (q_upper_median, q_exact_quartiles):
         plan = plan_of(fn(spark, SF_DIR))
-        specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
-        assert specs, plan
-        assert all(s == "pid" for s in specs), specs
+        assert "windowspecdefinition" in plan, plan
+        assert plan.count("HashAggregate") >= 2, plan  # map-side combine
+        w_pos = plan.index(" Window ") if " Window " in plan else plan.index("Window")
+        assert "HashAggregate" in plan[w_pos:], plan
+
+
+def test_rank_select_regime_b_binning(spark):
+    """High-cardinality values route to regime B: deterministic
+    hash-sampled value bins, per-(bin, group) counts, windowed pick. The
+    pick window must lead with the bin column (P-way parallel per
+    group), the answer must be the exact sorted[floor(n*q)]+1 element,
+    and — the round-3 verdict #3 fix — a cache wipe between the counts
+    job and the pick job must recompute the identical answer (no frozen
+    lineage to lose)."""
+    import random
+
+    from pdfredact_spark.queries import _rank_select
+
+    rng = random.Random(7)
+    rows = [(f"g{i % 2}", rng.random() * 1000.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = _rank_select(df, "grp", "v", {"q50": 0.5, "q25": 0.25}, distinct_cap=100)
+
+    plan = plan_of(got)
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "bin" for s in specs), specs
+
+    # the lazy plan above already ran the counts job inside _rank_select;
+    # wiping every cached block before collecting the pick job simulates
+    # executor loss between the two jobs
+    spark.catalog.clearCache()
+    picked = {(r["grp"], r["tag"]): r["v"] for r in got.collect()}
+    for g in ("g0", "g1"):
+        vals = sorted(v for grp, v in rows if grp == g)
+        n = len(vals)
+        assert picked[(g, "q50")] == vals[int(n * 0.5)]  # 1-based floor(n*q)+1
+        assert picked[(g, "q25")] == vals[int(n * 0.25)]
 
 
 def test_topk_queries_use_take_ordered(spark):

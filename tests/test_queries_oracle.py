@@ -69,6 +69,19 @@ def test_oracle_parity(name, spark, ddb):
         )
 
 
+def test_driver_window():
+    """The driver grades only the FIRST 50 queries() entries in dict
+    order (round-3 verdict #1: three extra SQL queries silently pushed
+    the four pipeline-parity checks out of the graded window). Pin the
+    contract: total <= 50 and the pipeline-parity checks lead."""
+    from pdfredact_spark.corpus_queries import PIPELINE_QUERIES
+
+    names = list(QUERIES)
+    assert len(names) <= 50, f"{len(names)} queries; driver grades only 50"
+    assert names[: len(PIPELINE_QUERIES)] == list(PIPELINE_QUERIES)
+    assert set(ORACLES) == set(names)  # every graded query has an oracle
+
+
 def test_rows_only_queries_run(spark):
     for name in set(QUERIES) - set(ORACLES):
         df = QUERIES[name](spark, SF_DIR)
