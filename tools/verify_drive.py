@@ -1,0 +1,153 @@
+"""End-to-end verify drive for pdfredact_spark (flows 1-4 of the verify
+skill + the streaming sessionizer parity drive, round-3 verdict #6).
+
+Run (from a cwd outside /root/repo so the zip, not the checkout, is
+imported):
+  cd /root/repo && zip -qr /tmp/pdfredact_spark.zip pdfredact_spark
+  cd /tmp && spark-submit --master local[8] \
+    --py-files /tmp/pdfredact_spark.zip \
+    /root/repo/tools/verify_drive.py /tmp/verify_out
+Expect the final line: VERIFY-DRIVE-OK
+"""
+import json
+import os
+import shutil
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+out_root = sys.argv[1]
+shutil.rmtree(out_root, ignore_errors=True)
+os.makedirs(out_root)
+
+spark = (
+    SparkSession.builder.appName("verify-drive")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from pdfredact_spark.checkpoint import run_resumable
+from pdfredact_spark.fixtures import SSN_RULE, corpus, demo_doc
+from pdfredact_spark.pipeline import docs_to_df
+
+# ---- flow 1+3: redaction correctness + error routing -----------------
+docs = corpus(24)
+docs.append(demo_doc("rot-doc", rotation_page1=90))
+df = docs_to_df(spark, docs)
+out1 = os.path.join(out_root, "run1")
+run_resumable(spark, df, out1, [SSN_RULE], n_buckets=4, buckets_per_batch=2)
+
+res = spark.read.parquet(out1 + "/data")
+n_docs = res.select("doc_id").distinct().count()
+masked = res.select(
+    "doc_id", F.explode("spans").alias("s")
+).where(F.col("s.kind") == "mask")
+n_masks = masked.count()
+sample = masked.limit(3).collect()
+print("FLOW1 docs:", n_docs, "masks:", n_masks)
+for r in sample:
+    print("  mask media_ref:", r["s"]["media_ref"])
+assert n_docs == 24, n_docs  # rot-doc routed to errors, not data
+assert n_masks > 0
+err_listed = []
+for f in sorted(os.listdir(out1 + "/_commits")):
+    with open(os.path.join(out1, "_commits", f)) as fh:
+        err_listed += [e["doc_id"] for e in json.load(fh).get("errors", [])]
+print("FLOW3 errors:", err_listed)
+assert err_listed == ["rot-doc"], err_listed
+
+# ---- flow 2: kill after 1 batch, resume -------------------------------
+from pdfredact_spark.checkpoint import KillSwitch
+
+out2 = os.path.join(out_root, "run2")
+try:
+    run_resumable(spark, df, out2, [SSN_RULE], n_buckets=4,
+                  buckets_per_batch=2, kill_after_batches=1)
+    raise AssertionError("kill switch did not fire")
+except KillSwitch as e:
+    print("FLOW2 killed as requested:", e)
+first_manifest = os.path.join(out2, "_commits", "batch-0.json")
+mtime1 = os.path.getmtime(first_manifest)
+run_resumable(spark, df, out2, [SSN_RULE], n_buckets=4, buckets_per_batch=2)
+assert os.path.getmtime(first_manifest) == mtime1, "resume rewrote batch 0"
+n2 = spark.read.parquet(out2 + "/data").select("doc_id").distinct().count()
+print("FLOW2 resumed docs:", n2)
+assert n2 == 24, n2
+
+# ---- flow 4: idempotent rerun on fully-committed dir ------------------
+mtimes = {
+    f: os.path.getmtime(os.path.join(out2, "_commits", f))
+    for f in os.listdir(out2 + "/_commits")
+}
+run_resumable(spark, df, out2, [SSN_RULE], n_buckets=4, buckets_per_batch=2)
+for f, m in mtimes.items():
+    assert os.path.getmtime(os.path.join(out2, "_commits", f)) == m, f
+print("FLOW4 idempotent rerun: manifests untouched")
+
+# ---- flow 6 (verdict r3 #6): streaming sessionizer vs batch twin ------
+# Misaligned-timestamp corpus: event times NOT aligned to any bin, split
+# across two ingestion waves so an open session spans the wave boundary.
+import datetime as dt
+
+from pdfredact_spark.queries import q_gap_sessionize
+from pdfredact_spark.streaming import sessionize_stream
+
+base = dt.datetime(2024, 3, 1, 7, 13, 29)  # deliberately odd anchor
+rows = []
+eid = 0
+for u in range(6):
+    t = base + dt.timedelta(seconds=u * 977)
+    for s in range(3):  # 3 sessions per user
+        for e in range(4):
+            rows.append((eid, t, u))
+            eid += 1
+            t += dt.timedelta(seconds=313 + 7 * ((eid + u) % 5))  # < gap
+        t += dt.timedelta(seconds=1800 + 61 + (u * 13) % 97)  # > gap
+sess_in = os.path.join(out_root, "sess_in")
+# wave 1 = first 60% of events, wave 2 = rest (sessions straddle waves)
+cut = int(len(rows) * 0.6)
+schema = "event_id long, ts timestamp_ntz, user_id long"
+spark.createDataFrame(rows[:cut], schema).coalesce(1).write.mode(
+    "overwrite"
+).parquet(os.path.join(sess_in, "w1.parquet"))
+sess_out = os.path.join(out_root, "sess_out")
+sessionize_stream(spark, sess_in + "/*", sess_out, gap_sec=1800.0)
+spark.createDataFrame(rows[cut:], schema).coalesce(1).write.mode(
+    "overwrite"
+).parquet(os.path.join(sess_in, "w2.parquet"))
+sessionize_stream(spark, sess_in + "/*", sess_out, gap_sec=1800.0)
+
+stream_sessions = (
+    spark.read.parquet(sess_out + "/sessions")
+    .select("user_id", "session_start", "n_events")
+    .collect()
+)
+got = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in stream_sessions)
+
+# batch twin: q_gap_sessionize over the same events table shape
+ev_dir = os.path.join(out_root, "sess_batch")
+spark.createDataFrame(rows, schema).withColumn(
+    "ts", F.col("ts").cast("timestamp")
+).write.mode("overwrite").parquet(os.path.join(ev_dir, "events.parquet"))
+batch = q_gap_sessionize(spark, ev_dir).collect()
+# stream emits only CLOSED sessions (last session per user stays open in
+# state); batch sees all 3 per user -> compare the closed prefix
+batch_by_user = {}
+for r in sorted(batch, key=lambda r: (r["user_id"], r["session_id"])):
+    batch_by_user.setdefault(r["user_id"], []).append(r["n_events"])
+stream_by_user = {}
+for u, start, n in got:
+    stream_by_user.setdefault(u, []).append((start, n))
+assert set(stream_by_user) == set(batch_by_user), (stream_by_user.keys())
+for u, closed in stream_by_user.items():
+    closed_counts = [n for _, n in sorted(closed)]
+    assert closed_counts == batch_by_user[u][: len(closed_counts)], (
+        u, closed_counts, batch_by_user[u])
+    assert len(closed_counts) == len(batch_by_user[u]) - 1  # last stays open
+print("FLOW6 sessionizer: stream closed-sessions == batch twin prefix for",
+      len(stream_by_user), "users")
+
+print("VERIFY-DRIVE-OK")
+spark.stop()
