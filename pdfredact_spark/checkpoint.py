@@ -100,8 +100,12 @@ def run_resumable(
             if manifest.get("buckets") != list(range(lo, hi)) or (
                 # the modulus matters even when ranges coincide: batch 0
                 # is [0,4) under both n_buckets=8 and 16, but pmod(h,8)
-                # and pmod(h,16) assign DIFFERENT documents to it
-                manifest.get("n_buckets", n_buckets) != n_buckets
+                # and pmod(h,16) assign DIFFERENT documents to it. A
+                # manifest MISSING the field is a hard error too — it
+                # predates the guard, so its modulus is unverifiable and
+                # defaulting it to the current run's value would pass
+                # exactly the drift case the guard exists for (ADVICE r3).
+                manifest.get("n_buckets") != n_buckets
             ):
                 raise ValueError(
                     f"batch {batch_id} was committed for buckets "

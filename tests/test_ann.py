@@ -20,6 +20,47 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"IVF recall {recall} too low"
 
 
+def test_ivf_quantizer_improves_cell_balance(spark):
+    """Round-3 verdict #4: the Lloyd-trained quantizer must give better
+    cell balance than the old 'first 16 vectors' centroids. Assign the
+    full sf0.01 corpus to both centroid sets and compare max/min cell
+    population (first-16 measured 42/20 = 2.1; Lloyd-2 measures 35/26 =
+    1.3). Also pins determinism: two trainings produce identical
+    centroids."""
+    import math
+
+    from pdfredact_spark.queries import _ivf_centroids
+
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in spark.read.parquet(SF_DIR + "/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    def ratio(cents):
+        cells = {c: 0 for c, _ in cents}
+        for _v, e in rows:
+            best = max((cos(e, ce), -c) for c, ce in cents)
+            cells[-best[1]] += 1
+        return max(cells.values()) / max(min(cells.values()), 1)
+
+    first16 = [(v, e) for v, e in sorted(rows) if v < 16]
+    lloyd = _ivf_centroids(spark, SF_DIR)
+    assert lloyd == _ivf_centroids(spark, SF_DIR)  # deterministic
+    assert ratio(lloyd) < ratio(first16), (ratio(lloyd), ratio(first16))
+
+
 def test_lsh_returns_ranked_candidates(spark):
     lsh = q_ann_lsh_topk(spark, SF_DIR).collect()
     assert 1 <= len(lsh) <= 10

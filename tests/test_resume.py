@@ -118,3 +118,33 @@ def test_resume_rejects_bucket_config_drift(spark, tmp_path):
 
     with pytest.raises(ValueError, match="resume with the original"):
         run_resumable(spark, docs, out, [SSN_RULE], n_buckets=16, buckets_per_batch=4)
+
+
+def test_resume_rejects_manifest_missing_n_buckets(spark, tmp_path):
+    """A manifest WITHOUT the n_buckets field (written before the drift
+    guard existed) has an unverifiable modulus: defaulting it to the
+    current run's value would pass exactly the drift case the guard is
+    for — batch 0 covers [0,4) under both n_buckets=8 and 16 but the
+    pmod assigns different documents (ADVICE r3). Must hard-fail."""
+    import json
+    import os
+
+    import pytest
+
+    from pdfredact_spark.checkpoint import run_resumable
+    from pdfredact_spark.fixtures import SSN_RULE, corpus
+    from pdfredact_spark.pipeline import docs_to_df
+
+    out = str(tmp_path / "o")
+    docs = docs_to_df(spark, corpus(12))
+    run_resumable(spark, docs, out, [SSN_RULE], n_buckets=8, buckets_per_batch=4)
+
+    m_path = os.path.join(out, "_commits", "batch-0.json")
+    with open(m_path) as f:
+        manifest = json.load(f)
+    del manifest["n_buckets"]
+    with open(m_path, "w") as f:
+        json.dump(manifest, f)
+
+    with pytest.raises(ValueError, match="resume with the original"):
+        run_resumable(spark, docs, out, [SSN_RULE], n_buckets=8, buckets_per_batch=4)

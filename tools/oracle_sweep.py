@@ -8,6 +8,11 @@ rounded differently at sf0.1 before the integer-cents rewrite).
 
 Usage:
     SWEEP_SF=sf0.1 SWEEP_CORES=32 SWEEP_SHUF=32 python tools/oracle_sweep.py
+
+Set SWEEP_JSON=/path/to/SWEEP_rN.json to also merge this run's per-query
+results into a JSON artifact (one block per sf/cores/shuffle combination)
+— the committed evidence that the all-SF robustness claim is machine-
+checked, not prose (round-3 verdict #5).
 """
 
 from __future__ import annotations
@@ -56,6 +61,7 @@ def main() -> int:
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     fails = []
+    results: dict[str, dict] = {}
     for name in sorted(qs):
         try:
             sdf = canon(qs[name](spark, d).toPandas())
@@ -67,14 +73,32 @@ def main() -> int:
                 and list(sdf.columns) == list(odf.columns)
                 and hs == ho
             )
+            results[name] = {"ok": bool(ok), "rows": len(sdf), "oracle_rows": len(odf)}
             print(f"{name}: {'OK' if ok else f'FAIL rows={len(sdf)}/{len(odf)}'}", flush=True)
             if not ok:
                 fails.append(name)
         except Exception as e:  # noqa: BLE001
             fails.append(name)
+            results[name] = {"ok": False, "error": f"{type(e).__name__}: {str(e)[:150]}"}
             print(f"{name}: ERROR {type(e).__name__}: {str(e)[:150]}", flush=True)
     print(f"SUMMARY {sf} cores={cores} shuf={shuf}: "
           f"{len(qs) - len(fails)}/{len(qs)} green; fails: {fails}")
+    json_path = os.environ.get("SWEEP_JSON")
+    if json_path:
+        import json
+
+        blob = {}
+        if os.path.isfile(json_path):
+            with open(json_path) as fh:
+                blob = json.load(fh)
+        blob[f"{sf} cores={cores} shuf={shuf}"] = {
+            "n_green": len(qs) - len(fails),
+            "n_total": len(qs),
+            "fails": fails,
+            "results": results,
+        }
+        with open(json_path, "w") as fh:
+            json.dump(blob, fh, indent=1, sort_keys=True)
     spark.stop()
     return 1 if fails else 0
 
