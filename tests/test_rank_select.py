@@ -55,3 +55,60 @@ def test_connected_components_multi_round_chain(spark):
     )
     labels = {r["node"]: r["label"] for r in _connected_components(edges).collect()}
     assert labels == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
+
+
+def test_star_cc_rounds_independent_of_diameter(spark):
+    """The round-4 large-star/small-star CC must converge on a LONG PATH
+    (diameter 199 — the chain shape template spam produces at corpus
+    scale) in O(log^2 n) rounds, where min-label propagation needs one
+    round per hop. Pin both the labels and the round count."""
+    from pdfredact_spark.queries import _connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    rounds: list = []
+    labels = {
+        r["node"]: r["label"]
+        for r in _connected_components(edges, _rounds=rounds).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+    assert len(rounds) <= 12, len(rounds)  # propagation would need ~199
+
+
+def test_star_cc_matches_propagation_on_random_graph(spark):
+    """Cross-check: the star algorithm and round-3's min-label
+    propagation must produce identical (node, label) sets on a seeded
+    random graph with mixed component shapes (chains, triangles,
+    isolated pairs, a hub)."""
+    import random
+
+    from pdfredact_spark.queries import (
+        _connected_components,
+        _connected_components_propagation,
+    )
+
+    rng = random.Random(11)
+    edges = []
+    # hub component
+    edges += [(500, 500 + i) for i in range(1, 20)]
+    # chains
+    base = 600
+    for c in range(5):
+        ln = rng.randint(2, 12)
+        edges += [(base + i, base + i + 1) for i in range(ln)]
+        base += ln + rng.randint(2, 5)
+    # random pairs/triangles
+    for _ in range(40):
+        a = rng.randint(0, 120)
+        b = rng.randint(0, 120)
+        if a != b:
+            edges.append((a, b))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    star = {(r["node"], r["label"]) for r in _connected_components(df).collect()}
+    prop = {
+        (r["node"], r["label"])
+        for r in _connected_components_propagation(df).collect()
+    }
+    assert star == prop
