@@ -189,6 +189,17 @@ def _prefix_len_for(total_rows: int, target_rows_per_prefix: int) -> int:
     return k
 
 
+def _has_parquet(path: str) -> bool:
+    """True if any .parquet file exists under path. An all-duplicate
+    micro-batch writes a ledger delta containing only _SUCCESS; reading
+    such a directory raises UNABLE_TO_INFER_SCHEMA, so every ledger read
+    must skip file-less directories (they carry no fingerprints)."""
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def compact_ledger(
     spark: SparkSession, out_dir: str, target_rows_per_prefix: int = 1_000_000
 ) -> dict | None:
@@ -213,9 +224,14 @@ def compact_ledger(
     ledger_dir = os.path.join(out_dir, "ledger")
     comp_root = os.path.join(out_dir, "ledger_compacted")
     meta = _read_ledger_meta(out_dir)
-    delta_dirs = sorted(glob.glob(os.path.join(ledger_dir, "batch=*")))
+    all_delta_dirs = sorted(glob.glob(os.path.join(ledger_dir, "batch=*")))
+    delta_dirs = [d for d in all_delta_dirs if _has_parquet(d)]
     if not delta_dirs:
-        return meta  # nothing new since the last compaction
+        # nothing new to fold; empty (all-duplicate-batch) deltas are
+        # trivially absorbed — remove them so they never poison a read
+        for d in all_delta_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return meta
     parts = []
     if meta is not None:
         old = spark.read.parquet(os.path.join(comp_root, f"gen={meta['gen']}"))
@@ -244,7 +260,7 @@ def compact_ledger(
     finally:
         merged.unpersist()
     _write_ledger_meta(out_dir, {"gen": gen, "prefix_len": k, "n_rows": total})
-    for d in delta_dirs:
+    for d in all_delta_dirs:
         shutil.rmtree(d, ignore_errors=True)
     for g in glob.glob(os.path.join(comp_root, "gen=*")):
         if os.path.basename(g) != f"gen={gen}":
@@ -282,26 +298,30 @@ def _compacted_scan(
     gen_dir = os.path.join(out_dir, "ledger_compacted", f"gen={meta['gen']}")
     if prefixes is None:
         paths = [gen_dir]
-        metrics_entry["compacted_full_scan"] = True
     else:
         paths = [
             os.path.join(gen_dir, f"pfx={p}")
             for p in prefixes
             if os.path.isdir(os.path.join(gen_dir, f"pfx={p}"))
         ]
-        metrics_entry["compacted_full_scan"] = False
-    metrics_entry["compacted_prefixes_read"] = len(paths)
-    metrics_entry["compacted_bytes_read"] = _parquet_bytes_under(paths)
-    metrics_entry["compacted_paths"] = list(paths)
+    if count_rows:
+        # metrics-only bookkeeping (tests/soaks): the filesystem walk and
+        # the row-count job are skipped entirely in production
+        # (metrics=None) — only the path list above, which the read
+        # itself needs, is always built
+        metrics_entry["compacted_full_scan"] = prefixes is None
+        metrics_entry["compacted_prefixes_read"] = len(paths)
+        metrics_entry["compacted_bytes_read"] = _parquet_bytes_under(paths)
+        metrics_entry["compacted_paths"] = list(paths)
+        if paths:
+            # rows in the scanned dirs — the scale-faithful read metric;
+            # bytes at toy scale are dominated by constant per-file
+            # parquet overhead
+            metrics_entry["compacted_rows_read"] = (
+                spark.read.parquet(*paths).count()
+            )
     if not paths:
         return None
-    if count_rows:
-        # metrics-only extra job (tests/soaks): rows in the scanned dirs —
-        # the scale-faithful read metric; bytes at toy scale are dominated
-        # by constant per-file parquet overhead
-        metrics_entry["compacted_rows_read"] = (
-            spark.read.parquet(*paths).count()
-        )
     return (
         spark.read.parquet(*paths)
         .where(F.col("batch") != exclude_batch)
@@ -369,61 +389,87 @@ def dedup_stream(
         m: dict = {"batch": int(batch_id)}
         if metrics is not None:
             metrics.append(m)
-        seen_parts: list[DataFrame] = []
-        meta = _read_ledger_meta(out_dir)
-        if meta is not None:
-            k = int(meta["prefix_len"])
-            # Bounded collect: limit(max_prefixes+1) — if the batch spans
-            # more prefixes than that, scan the whole compacted gen
-            # instead of collecting an unbounded prefix list.
-            head = (
-                fresh.select(
-                    F.concat(F.lit("x"), F.substring("fp", 1, k)).alias("p")
-                )
-                .distinct()
-                .limit(max_prefixes + 1)
-                .collect()
-            )
-            prefixes = None if len(head) > max_prefixes else sorted(r["p"] for r in head)
-            comp = _compacted_scan(
-                spark, out_dir, meta, prefixes, batch_id, m,
-                count_rows=metrics is not None,
-            )
-            if comp is not None:
-                seen_parts.append(comp)
-        if glob.glob(os.path.join(ledger_dir, "batch=*")):
-            # Bounded collect: at most 16 one-char prefix rows — the price
-            # of pruning the delta read to the batch's prefixes.
-            pfxs = [r["pfx"] for r in fresh.select("pfx").distinct().collect()]
-            # No broadcast hint: AQE broadcasts the pruned ledger side
-            # while small and shuffle-joins once it isn't.
-            # EXCLUDE this batch's own partition: a foreachBatch retry
-            # that crashed after the ledger write but before the WAL
-            # commit would otherwise anti-join the batch against its own
-            # fingerprints and overwrite data/batch=N with nothing.
-            seen_parts.append(
-                ledger_scan(
-                    spark, ledger_dir, exclude_batch=batch_id, prefixes=pfxs
-                ).select("fp")
-            )
-        if seen_parts:
-            seen = seen_parts[0]
-            for part in seen_parts[1:]:
-                seen = seen.unionByName(part)
-            fresh = fresh.join(seen, "fp", "left_anti")
-        # Materialize once: the ledger write must list exactly the rows
-        # the data write emitted (two actions on one lineage could pick
-        # different rows under speculative re-execution). Per-batch
-        # OVERWRITE directories make a foreachBatch retry idempotent
-        # (append mode would double-emit the batch).
+        # Persist the deduped batch BEFORE any prefix collect: the
+        # collects below and the final writes all reuse the cached
+        # md5+window result instead of recomputing it per job.
         fresh.persist()
         try:
-            fresh.drop("fp", "pfx").write.mode("overwrite").parquet(
-                os.path.join(data_dir, f"batch={batch_id}")
-            )
-            fresh.select("fp", "pfx").write.partitionBy("pfx").mode(
-                "overwrite"
-            ).parquet(os.path.join(ledger_dir, f"batch={batch_id}"))
+            seen_parts: list[DataFrame] = []
+            meta = _read_ledger_meta(out_dir)
+            prefixes: list[str] | None = None
+            if meta is not None:
+                k = int(meta["prefix_len"])
+                # Bounded collect: limit(max_prefixes+1) — if the batch
+                # spans more prefixes than that, scan the whole compacted
+                # gen instead of collecting an unbounded prefix list.
+                head = (
+                    fresh.select(
+                        F.concat(F.lit("x"), F.substring("fp", 1, k)).alias("p")
+                    )
+                    .distinct()
+                    .limit(max_prefixes + 1)
+                    .collect()
+                )
+                prefixes = (
+                    None if len(head) > max_prefixes else sorted(r["p"] for r in head)
+                )
+                comp = _compacted_scan(
+                    spark, out_dir, meta, prefixes, batch_id, m,
+                    count_rows=metrics is not None,
+                )
+                if comp is not None:
+                    seen_parts.append(comp)
+            delta_dirs = [
+                d
+                for d in glob.glob(os.path.join(ledger_dir, "batch=*"))
+                if _has_parquet(d)  # all-dup batches leave file-less dirs
+            ]
+            if delta_dirs:
+                if prefixes is not None:
+                    # one-char delta prefixes are a pure driver-side
+                    # projection of the k-char collect above — no second
+                    # distinct job against the batch
+                    pfxs = sorted({p[:2] for p in prefixes})
+                else:
+                    # Bounded collect: at most 16 one-char prefix rows —
+                    # the price of pruning the delta read to the batch.
+                    pfxs = [
+                        r["pfx"] for r in fresh.select("pfx").distinct().collect()
+                    ]
+                # No broadcast hint: AQE broadcasts the pruned ledger side
+                # while small and shuffle-joins once it isn't.
+                # EXCLUDE this batch's own partition: a foreachBatch retry
+                # that crashed after the ledger write but before the WAL
+                # commit would otherwise anti-join the batch against its
+                # own fingerprints and overwrite data/batch=N with
+                # nothing.
+                seen_parts.append(
+                    ledger_scan(
+                        spark, ledger_dir, exclude_batch=batch_id, prefixes=pfxs
+                    ).select("fp")
+                )
+            if seen_parts:
+                seen = seen_parts[0]
+                for part in seen_parts[1:]:
+                    seen = seen.unionByName(part)
+                out = fresh.join(seen, "fp", "left_anti")
+            else:
+                out = fresh
+            # Materialize once: the ledger write must list exactly the
+            # rows the data write emitted (two actions on one lineage
+            # could pick different rows under speculative re-execution).
+            # Per-batch OVERWRITE directories make a foreachBatch retry
+            # idempotent (append mode would double-emit the batch).
+            out.persist()
+            try:
+                out.drop("fp", "pfx").write.mode("overwrite").parquet(
+                    os.path.join(data_dir, f"batch={batch_id}")
+                )
+                out.select("fp", "pfx").write.partitionBy("pfx").mode(
+                    "overwrite"
+                ).parquet(os.path.join(ledger_dir, f"batch={batch_id}"))
+            finally:
+                out.unpersist()
         finally:
             fresh.unpersist()
         n_batches["n"] += 1

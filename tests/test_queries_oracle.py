@@ -97,6 +97,43 @@ def test_entry_smoke(spark):
     assert sum(r["n_masks"] for r in rows) > 0  # flagship actually redacts
 
 
+def test_distinct_users_all_null_type_keeps_group(spark, tmp_path):
+    """An event_type whose user_ids are ALL NULL must still appear with
+    n_users=0, matching COUNT(DISTINCT)'s keep-the-group semantics
+    (round-4 review #2: a NULL pre-filter dropped the whole group while
+    the oracle emitted it — a row-count mismatch on nullable corpora)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pdfredact_spark.queries import ORACLE_SQL, SQL_QUERIES
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "click", 1.0),
+        (2, "2024-01-01 00:01:00", 10, "click", 1.0),
+        (3, "2024-01-01 00:02:00", None, "ghost", 1.0),   # all-NULL type
+        (4, "2024-01-01 00:03:00", None, "click", 1.0),   # NULL among reals
+        (5, "2024-01-01 00:04:00", 11, "click", 1.0),
+    ]
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_type"]: r["n_users"]
+        for r in SQL_QUERIES["distinct_users_by_type"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"click": 2, "ghost": 0}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    oracle = dict(con.execute(ORACLE_SQL["distinct_users_by_type"]).fetchall())
+    assert got == oracle
+
+
 def test_interval_overlap_boundary_refine_on_misaligned_orders(spark, tmp_path):
     """The hierarchical day-binned interval join splits each order into
     fully-covered days (joined against the per-day aggregate) plus

@@ -77,6 +77,42 @@ def test_star_cc_rounds_independent_of_diameter(spark):
     assert len(rounds) <= 12, len(rounds)  # propagation would need ~199
 
 
+def test_star_cc_keeps_self_loop_singletons(spark):
+    """A node appearing only in a self-loop edge is a singleton
+    component: the src != dst normalization must not erase it (round-4
+    review #4 — the propagation twin labels it, so the star form must
+    too), and a self-loop on a connected node must not duplicate it."""
+    from pdfredact_spark.queries import (
+        _connected_components,
+        _connected_components_propagation,
+    )
+
+    df = spark.createDataFrame([(3, 3), (1, 2), (2, 2)], "src long, dst long")
+    star = sorted(
+        (r["node"], r["label"]) for r in _connected_components(df).collect()
+    )
+    prop = sorted(
+        (r["node"], r["label"])
+        for r in _connected_components_propagation(df).collect()
+    )
+    assert star == prop == [(1, 1), (2, 1), (3, 3)]
+
+
+def test_rank_select_ignores_null_values(spark):
+    """NULL measures are excluded from the rank multiset (the COUNT /
+    ORDER BY convention): xxhash64(NULL) = the seed, which round-4
+    review #3 showed could pass the regime-B sample filter and crash the
+    driver sort — and a NULL must never be returned as a quantile."""
+    from pdfredact_spark.queries import _rank_select
+
+    rows = [("g", float(v)) for v in range(1, 8)] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    for cap in (100, 0):  # regime A and regime B
+        got = {r["tag"]: r["v"] for r in
+               _rank_select(df, "g", "v", {"q50": 0.5}, distinct_cap=cap).collect()}
+        assert got == {"q50": 4.0}  # sorted[7//2] over the 7 non-nulls
+
+
 def test_star_cc_matches_propagation_on_random_graph(spark):
     """Cross-check: the star algorithm and round-3's min-label
     propagation must produce identical (node, label) sets on a seeded

@@ -262,6 +262,35 @@ def test_dedup_ledger_compaction_bounds_reads(spark, tmp_path):
     assert flat and all(not m["compacted_full_scan"] for m in flat)
 
 
+def test_dedup_stream_all_duplicate_wave_under_compaction(spark, tmp_path):
+    """An all-duplicate micro-batch emits ZERO fresh fingerprints, so its
+    ledger delta directory contains only _SUCCESS (no parquet files).
+    Compaction and later batches must skip such file-less directories
+    instead of raising UNABLE_TO_INFER_SCHEMA (round-4 review #1), and
+    dedup semantics must be unaffected."""
+    from pdfredact_spark.streaming import dedup_stream
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    in_dir, out_dir = str(tmp_path / "docs"), str(tmp_path / "dd")
+
+    def wave(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        assert dedup_stream(spark, in_dir, out_dir, compact_every=1,
+                            target_rows_per_prefix=8) >= 1
+
+    wave([(1, "alpha", "en", "s", 5), (2, "beta", "en", "s", 4)])
+    # wave 2: EVERY row already in the ledger -> empty delta
+    wave([(3, "alpha", "en", "s", 5), (4, "beta", "en", "s", 4)])
+    # wave 3: new content must still dedup correctly after the empty delta
+    wave([(5, "gamma", "en", "s", 5), (6, "alpha", "en", "s", 5)])
+
+    got = {r["text"]: r["doc_id"]
+           for r in spark.read.parquet(out_dir + "/data").collect()}
+    assert got == {"alpha": 1, "beta": 2, "gamma": 5}
+
+
 def test_windowed_counts_stream_watermark_semantics(spark, tmp_path):
     """Watermarked tumbling windows: append mode emits a window exactly
     once when the watermark passes it, and an event arriving later than
