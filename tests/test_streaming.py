@@ -262,6 +262,37 @@ def test_dedup_ledger_compaction_bounds_reads(spark, tmp_path):
     assert flat and all(not m["compacted_full_scan"] for m in flat)
 
 
+def test_dedup_stream_prefix_cap_full_scan_fallback(spark, tmp_path):
+    """A batch spanning more than max_prefixes compacted prefixes must
+    fall back to scanning the whole compacted generation (the honest
+    cost of a giant batch) — and still dedup correctly. max_prefixes=1
+    forces the fallback on a 6-doc wave."""
+    from pdfredact_spark.streaming import dedup_stream
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    in_dir, out_dir = str(tmp_path / "docs"), str(tmp_path / "dd")
+
+    def wave(rows, metrics):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        assert dedup_stream(spark, in_dir, out_dir, compact_every=1,
+                            target_rows_per_prefix=4, max_prefixes=1,
+                            metrics=metrics) >= 1
+
+    m1: list = []
+    wave([(i, f"t{i}", "en", "s", 2) for i in range(6)], m1)
+    m2: list = []
+    wave([(10, "t0", "en", "s", 2), (11, "new-a", "en", "s", 5),
+          (12, "new-b", "en", "s", 5)], m2)
+
+    assert any(m.get("compacted_full_scan") for m in m2), m2
+    got = {r["text"]: r["doc_id"]
+           for r in spark.read.parquet(out_dir + "/data").collect()}
+    assert got == {**{f"t{i}": i for i in range(6)},
+                   "new-a": 11, "new-b": 12}
+
+
 def test_dedup_stream_all_duplicate_wave_under_compaction(spark, tmp_path):
     """An all-duplicate micro-batch emits ZERO fresh fingerprints, so its
     ledger delta directory contains only _SUCCESS (no parquet files).
