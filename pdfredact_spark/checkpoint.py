@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdfredact_spark.model import Rule
-from pdfredact_spark.pipeline import redact_full
+from pdfredact_spark.pipeline import REDACTED_SCHEMA, redact_full
 
 
 class KillSwitch(Exception):
@@ -187,7 +187,21 @@ def run_resumable(
         if kill_after_batches is not None and processed >= kill_after_batches:
             raise KillSwitch(f"killed after {processed} batch(es)")
 
-    return spark.read.parquet(os.path.join(out_dir, "data"))
+    data_dir = os.path.join(out_dir, "data")
+    for root, _dirs, files in os.walk(data_dir):
+        if any(f.endswith(".parquet") for f in files):
+            return spark.read.parquet(data_dir)
+    # Every batch produced zero clean docs (empty input, or every doc
+    # quarantined by the fail-fast): partitionBy on an empty frame wrote
+    # only _SUCCESS markers, which spark.read.parquet cannot infer a
+    # schema from — return the documented empty shape instead of
+    # crashing AFTER all batches committed.
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    fields = [f for f in REDACTED_SCHEMA.fields if f.name in ("doc_id", "spans")]
+    return spark.createDataFrame(
+        [], StructType(fields + [StructField("bucket", IntegerType(), True)])
+    )
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:

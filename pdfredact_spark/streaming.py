@@ -376,8 +376,18 @@ def dedup_stream(
         import glob
 
         w = Window.partitionBy("fp").orderBy("doc_id")
+        # NULL text gets the literal fingerprint 'nulltext' (no hex chars
+        # beyond a-f would matter — it can never collide with a 32-hex
+        # md5): md5(NULL) is NULL, which neither the row_number partition
+        # nor the anti-join equality can match, so null-text docs would
+        # otherwise re-emit on every wave forever.
         fresh = (
-            batch_df.withColumn("fp", F.md5("text"))
+            batch_df.withColumn(
+                "fp",
+                F.when(F.col("text").isNull(), F.lit("nulltext")).otherwise(
+                    F.md5("text")
+                ),
+            )
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .drop("rn")
@@ -513,11 +523,34 @@ def sessionize_stream(
     session) persists in the state store across availableNow runs, so a
     session spanning two ingestion waves closes correctly in the later run.
     Timestamps are emitted as epoch seconds (double) for a stable schema.
+
+    Late data (round-4 review): events are sorted within a batch, but a
+    LATER batch can deliver timestamps behind the restored state's
+    watermark. An event within gap_sec of the open session's last
+    timestamp merges into it (extending session_start backwards if
+    needed — `last` never moves backwards, so session_end >= start
+    always holds); an event older than last - gap_sec is DROPPED, the
+    same too-late policy as the watermarked window stream (a batch
+    operator with global order would have assigned it to an
+    already-closed session we cannot reopen). NULL timestamps are
+    dropped up front — pd.NaT.timestamp() raises, and one such row
+    would poison-pill the batch forever (the WAL replays it on every
+    restart).
+
+    The trailing open session per user stays in the state store BY
+    DESIGN (the next wave may extend it) — read it with open_sessions().
+    A continuous deployment bounds state with a GroupStateTimeout
+    eviction; under availableNow each drain is finite so the bound is
+    #distinct users.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_path)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(input_path)
+        .where(F.col("ts").isNotNull())
+    )
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -538,8 +571,12 @@ def sessionize_stream(
                 closed.append((user_id, start, last, n))
                 start = last = t
                 n = 1
+            elif t < last - gap_sec:
+                continue  # too late: behind the open session's window
             else:
-                last = t
+                # in-order, or late-but-mergeable: last is monotone
+                start = min(start, t)
+                last = max(last, t)
                 n += 1
         if last is not None:
             state.update((float(start), float(last), int(n)))
@@ -552,7 +589,7 @@ def sessionize_stream(
         stream.groupBy("user_id")
         .applyInPandasWithState(
             fn, _SESSION_OUT, _SESSION_STATE, "append", GroupStateTimeout.NoTimeout
-        )
+        )  # see open_sessions() for the flush path; timeout = continuous-mode knob
         .writeStream.format("parquet")
         .option("path", os.path.join(out_dir, "sessions"))
         .option("checkpointLocation", os.path.join(out_dir, "_session_checkpoint"))
@@ -560,3 +597,22 @@ def sessionize_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def open_sessions(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The sessionizer's OPEN sessions (one per user), read from the
+    streaming state store with Spark's built-in ``statestore`` batch
+    source. Append mode can only emit a session once a later gap closes
+    it, so a churned user's final session lives here until then — this
+    is the flush path that makes the stream's output complete: emitted
+    sessions + open_sessions() == the batch gap-sessionize of all data
+    seen so far (asserted in tests and the verify drive)."""
+    df = spark.read.format("statestore").load(
+        os.path.join(out_dir, "_session_checkpoint")
+    )
+    return df.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.groupState.start_ts").alias("session_start"),
+        F.col("value.groupState.last_ts").alias("session_end"),
+        F.col("value.groupState.n").cast("long").alias("n_events"),
+    )

@@ -77,6 +77,49 @@ def test_star_cc_rounds_independent_of_diameter(spark):
     assert len(rounds) <= 12, len(rounds)  # propagation would need ~199
 
 
+def test_rank_select_random_property_both_regimes(spark):
+    """Seeded random property check: for several corpora shapes (few
+    distinct values / many / skewed ties / negative floats), BOTH
+    regimes must return exactly sorted(group)[floor(n*q)] (0-based) for
+    every group and every target — the oracle-free ground truth."""
+    import random
+
+    rng = random.Random(42)
+    shapes = [
+        lambda: float(rng.randint(0, 9)),            # heavy ties
+        lambda: rng.random() * 200 - 100,            # continuous
+        lambda: float(rng.choice([1, 1, 1, 50])),    # skewed
+    ]
+    for shape_i, gen in enumerate(shapes):
+        rows = [(f"g{i % 3}", gen()) for i in range(1500)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        for cap in (10**6, 0):  # force regime A then regime B
+            got = {
+                (r["g"], r["tag"]): r["v"]
+                for r in _rank_select(
+                    df, "g", "v", {"q25": 0.25, "q50": 0.5, "q75": 0.75},
+                    distinct_cap=cap,
+                ).collect()
+            }
+            for g in ("g0", "g1", "g2"):
+                vals = sorted(v for grp, v in rows if grp == g)
+                n = len(vals)
+                for tag, frac in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75)):
+                    assert got[(g, tag)] == vals[int(n * frac)], (
+                        shape_i, cap, g, tag)
+
+
+def test_star_cc_empty_edges(spark):
+    """No candidate pairs -> no clusters (empty frame with the right
+    schema), not a crash in the convergence loop."""
+    from pdfredact_spark.queries import _connected_components
+
+    df = spark.createDataFrame([], "src long, dst long")
+    out = _connected_components(df)
+    assert out.columns == ["node", "label"]
+    assert out.count() == 0
+
+
 def test_star_cc_keeps_self_loop_singletons(spark):
     """A node appearing only in a self-loop edge is a singleton
     component: the src != dst normalization must not erase it (round-4

@@ -84,6 +84,90 @@ def test_stateful_sessionize_across_waves(spark, tmp_path):
     assert got2[1]["session_end"] - got2[1]["session_start"] == 300.0  # 5 min
 
 
+def test_sessionize_late_and_null_events(spark, tmp_path):
+    """Round-4 review: a later wave can carry timestamps BEHIND the
+    restored state. A late event within gap_sec of the open session's
+    last timestamp merges (extending session_start backwards); one older
+    than last - gap_sec is dropped (watermark policy); session_end >=
+    session_start always. A NULL ts row must be filtered, not poison-pill
+    the batch forever."""
+    import datetime as dt
+
+    from pdfredact_spark.streaming import open_sessions, sessionize_stream
+
+    in_dir, out_dir = str(tmp_path / "ev"), str(tmp_path / "sess")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    schema = "event_id long, ts timestamp_ntz, user_id long"
+
+    # wave 1: open session [1000, 1050] (gap 100)
+    spark.createDataFrame(
+        [(1, sec(1000), 7), (2, sec(1050), 7)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    sessionize_stream(spark, in_dir, out_dir, gap_sec=100)
+
+    # wave 2: 980 merges late (>= 1050-100), 890 dropped (< 950),
+    # NULL ts filtered, 1200 closes [980, 1050] and opens a new session
+    spark.createDataFrame(
+        [(3, sec(980), 7), (4, sec(890), 7), (5, None, 7), (6, sec(1200), 7)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    sessionize_stream(spark, in_dir, out_dir, gap_sec=100)
+
+    got = [
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir + "/sessions").collect()
+    ]
+    assert got == [(sec(980).timestamp(), sec(1050).timestamp(), 3)]
+    assert all(e >= s for s, e, _ in got)
+
+    # the flush path: the trailing open session is readable from state
+    opens = [
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in open_sessions(spark, out_dir).collect()
+    ]
+    assert opens == [(7, sec(1200).timestamp(), 1)]
+
+
+def test_resumable_all_error_corpus_returns_empty(spark, tmp_path):
+    """Round-4 review: when every doc is quarantined (or input is
+    empty), partitionBy writes only _SUCCESS markers; the final read
+    must return the documented empty (doc_id, spans, bucket) frame
+    instead of raising UNABLE_TO_INFER_SCHEMA after all batches
+    committed."""
+    from pdfredact_spark.checkpoint import run_resumable
+    from pdfredact_spark.fixtures import SSN_RULE, demo_doc
+    from pdfredact_spark.pipeline import docs_to_df
+
+    docs = docs_to_df(
+        spark, [demo_doc(f"r{i}", rotation_page1=90) for i in range(4)]
+    )
+    out = run_resumable(
+        spark, docs, str(tmp_path / "o"), [SSN_RULE], n_buckets=2,
+        buckets_per_batch=2,
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "spans", "bucket"}
+
+
+def test_dedup_stream_null_text_dedups(spark, tmp_path):
+    """Round-4 review: md5(NULL) is NULL, which no equality join can
+    match — null-text docs must still dedup via the sentinel
+    fingerprint instead of re-emitting every wave."""
+    from pdfredact_spark.streaming import dedup_stream
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    in_dir, out_dir = str(tmp_path / "docs"), str(tmp_path / "dd")
+    for rows in ([(1, None, "en", "s", 0), (2, "a", "en", "s", 1)],
+                 [(3, None, "en", "s", 0)]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        dedup_stream(spark, in_dir, out_dir)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir + "/data").collect())
+    assert got == [1, 2]  # doc 3's null text is a dup of doc 1's
+
+
 def test_dedup_stream_across_waves(spark, tmp_path):
     """Streaming exact dedup: within-batch duplicates keep min doc_id;
     content already emitted by an EARLIER wave is dropped in later waves

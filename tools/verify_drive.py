@@ -146,7 +146,16 @@ for u, closed in stream_by_user.items():
     assert closed_counts == batch_by_user[u][: len(closed_counts)], (
         u, closed_counts, batch_by_user[u])
     assert len(closed_counts) == len(batch_by_user[u]) - 1  # last stays open
-print("FLOW6 sessionizer: stream closed-sessions == batch twin prefix for",
+# completeness: emitted + open_sessions() == the batch twin exactly
+from pdfredact_spark.streaming import open_sessions
+
+open_by_user = {
+    r["user_id"]: r["n_events"] for r in open_sessions(spark, sess_out).collect()
+}
+for u, counts in batch_by_user.items():
+    closed_counts = [n for _, n in sorted(stream_by_user[u])]
+    assert closed_counts + [open_by_user[u]] == counts, (u, counts)
+print("FLOW6 sessionizer: closed+open sessions == batch twin for",
       len(stream_by_user), "users")
 
 print("VERIFY-DRIVE-OK")
