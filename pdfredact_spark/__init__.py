@@ -43,6 +43,10 @@ def __getattr__(name):
         "run_resumable": "checkpoint",
         "run_incremental": "streaming",
         "sessionize_stream": "streaming",
+        "open_sessions": "streaming",
+        "dedup_stream": "streaming",
+        "compact_ledger": "streaming",
+        "windowed_counts_stream": "streaming",
         "get_spark": "session",
         "Catalog": "catalog",
     }
