@@ -39,7 +39,9 @@ def _oracle(edge_dir, name):
 
 @pytest.mark.parametrize(
     "name", ["chunk_documents", "repetition_filter", "decontaminate_ngram_overlap",
-             "curate_corpus", "token_count", "doc_fingerprint"]
+             "curate_corpus", "token_count", "doc_fingerprint",
+             "text_quality", "lang_id", "rolling_fingerprint",
+             "simhash_fingerprint"]
 )
 def test_edge_docs_match_oracle(name, spark, edge_dir):
     sdf = (
