@@ -266,6 +266,51 @@ def test_dedup_ledger_scan_prunes_prefix_partitions(spark, tmp_path):
     assert full_pfx == all_pfx and {r["pfx"] for r in rows} < full_pfx
 
 
+def test_compaction_recovers_from_crashed_generation(spark, tmp_path):
+    """A compaction that crashed AFTER writing gen=G+1 but BEFORE the
+    meta flip leaves an orphan generation directory; the next compaction
+    must overwrite it cleanly (meta still points at G, deltas intact).
+    Also: compacting with no new deltas is a no-op returning the current
+    meta."""
+    import os
+
+    from pdfredact_spark.streaming import (
+        _read_ledger_meta,
+        compact_ledger,
+        dedup_stream,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    in_dir, out_dir = str(tmp_path / "docs"), str(tmp_path / "dd")
+
+    def wave(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        dedup_stream(spark, in_dir, out_dir)
+
+    wave([(1, "a", "en", "s", 1), (2, "b", "en", "s", 1)])
+    meta0 = compact_ledger(spark, out_dir, target_rows_per_prefix=8)
+    assert meta0["gen"] == 0 and _read_ledger_meta(out_dir) == meta0
+    # no new deltas -> no-op
+    assert compact_ledger(spark, out_dir, target_rows_per_prefix=8) == meta0
+
+    wave([(3, "c", "en", "s", 1), (4, "a", "en", "s", 1)])  # a = dup
+    # simulate the crashed compaction: orphan gen=1 with garbage content
+    orphan = os.path.join(out_dir, "ledger_compacted", "gen=1", "pfx=xz")
+    os.makedirs(orphan)
+    spark.createDataFrame([("garbage", 99)], "fp string, batch int").write.mode(
+        "overwrite"
+    ).parquet(orphan)
+    meta1 = compact_ledger(spark, out_dir, target_rows_per_prefix=8)
+    assert meta1["gen"] == 1 and meta1["n_rows"] == 3  # a, b, c — no garbage
+
+    wave([(5, "c", "en", "s", 1), (6, "d", "en", "s", 1)])  # c = dup
+    got = {r["text"]: r["doc_id"]
+           for r in spark.read.parquet(out_dir + "/data").collect()}
+    assert got == {"a": 1, "b": 2, "c": 3, "d": 6}
+
+
 def test_dedup_ledger_compaction_bounds_reads(spark, tmp_path):
     """Round-3 verdict #2: the per-batch ledger read must stay ~flat as
     total ledger size grows. With compaction enabled, the compacted
