@@ -57,15 +57,11 @@ def _documents_as_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 documents -> span docs -> redact -> mask summary."""
+    from pdfredact_spark.corpus_queries import _mask_count_cols
+
     span_docs = _documents_as_span_docs(spark, "/root/testdata/sf0.001")
     out, _errors = redact(span_docs, FLAGSHIP_RULES)
-    return out.select(
-        "doc_id",
-        F.size(F.filter("spans", lambda s: s.kind == F.lit("mask")))
-        .cast("long")
-        .alias("n_masks"),
-        F.size("spans").cast("long").alias("n_spans"),
-    )
+    return _mask_count_cols(out)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

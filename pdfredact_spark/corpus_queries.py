@@ -38,6 +38,7 @@ from pdfredact_spark.pipeline import (
 )
 
 _CORPUS_N = 48
+_MEDIA_N = 16  # media/flatten corpus size — query and oracle MUST agree
 _DEMO_N = 4
 
 
@@ -45,8 +46,45 @@ def _corpus_docs() -> list[dict]:
     return corpus(_CORPUS_N)
 
 
+def _media_docs() -> list[dict]:
+    return corpus(_MEDIA_N)
+
+
 def _demo_docs() -> list[dict]:
     return [demo_doc(f"dm-{i}") for i in range(_DEMO_N)]
+
+
+def _local_media_refs():
+    """Local twin of media._media_refs: every (doc_id, media_ref, payload)
+    for the media spans of the media corpus — the single iteration the
+    three media oracles share (a drifted copy would only surface as a
+    driver row-count mismatch)."""
+    for d in _media_docs():
+        for sp in d["spans"]:
+            if sp["kind"] == "media":
+                yield d["doc_id"], sp["media_ref"], fetch_media_bytes(sp["media_ref"])
+
+
+def _mask_count_cols(out: DataFrame) -> DataFrame:
+    """Shared per-doc mask/span count projection (used by the corpus and
+    boxed-fragment queries and by __spark_entry__.entry)."""
+    return out.select(
+        "doc_id",
+        F.size(F.filter("spans", lambda s: s.kind == F.lit("mask")))
+        .cast("long")
+        .alias("n_masks"),
+        F.size("spans").cast("long").alias("n_spans"),
+    )
+
+
+def _mask_count_oracle(docs: list[dict], rules: list[Rule]) -> str:
+    """Kernel-computed VALUES twin of _mask_count_cols."""
+    rows = []
+    for d in docs:
+        out, _, _ = redact_document(d["doc_id"], d["spans"], rules)
+        n_masks = sum(1 for s in out if s["kind"] == "mask")
+        rows.append((d["doc_id"], n_masks, len(out)))
+    return _values_sql(rows, ["doc_id", "n_masks", "n_spans"])
 
 
 # ---------------------------------------------------------------------------
@@ -57,13 +95,7 @@ def q_redact_corpus_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     span counts (SSN rule)."""
     df = docs_to_df(spark, _corpus_docs())
     out, _ = redact(df, [SSN_RULE])
-    return out.select(
-        "doc_id",
-        F.size(F.filter("spans", lambda s: s.kind == F.lit("mask")))
-        .cast("long")
-        .alias("n_masks"),
-        F.size("spans").cast("long").alias("n_spans"),
-    )
+    return _mask_count_cols(out)
 
 
 def q_locate_demo_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,7 +115,7 @@ def q_locate_demo_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_flatten_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flatten mode over the fixture corpus: per-doc media/page counts."""
-    df = docs_to_df(spark, corpus(16))
+    df = docs_to_df(spark, _media_docs())
     out, _ = redact(df, [SSN_RULE], flatten=True)
     return out.select(
         "doc_id",
@@ -113,22 +145,7 @@ def q_redact_boxed_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     letter tokenizer W3-W5 under Spark, not just in pytest)."""
     df = docs_to_df(spark, _boxed_docs())
     out, _ = redact(df, _BOXED_RULES)
-    return out.select(
-        "doc_id",
-        F.size(F.filter("spans", lambda s: s.kind == F.lit("mask")))
-        .cast("long")
-        .alias("n_masks"),
-        F.size("spans").cast("long").alias("n_spans"),
-    )
-
-
-def oracle_redact_boxed_fragments() -> str:
-    rows = []
-    for d in _boxed_docs():
-        out, _, _ = redact_document(d["doc_id"], d["spans"], _BOXED_RULES)
-        n_masks = sum(1 for s in out if s["kind"] == "mask")
-        rows.append((d["doc_id"], n_masks, len(out)))
-    return _values_sql(rows, ["doc_id", "n_masks", "n_spans"])
+    return _mask_count_cols(out)
 
 
 def q_mask_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +185,7 @@ def q_region_page_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media spans -> payload fetch -> (stubbed)
     decode via mapInPandas."""
-    df = docs_to_df(spark, corpus(16))
+    df = docs_to_df(spark, _media_docs())
     return media_metadata(df).select(
         "doc_id",
         "media_ref",
@@ -182,7 +199,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal thumbnailing: fetch -> decode -> aspect-preserving
     resize (stubbed resample, real dimension arithmetic + Arrow plumbing)."""
-    df = docs_to_df(spark, corpus(16))
+    df = docs_to_df(spark, _media_docs())
     return media_thumbnails(df).select(
         "doc_id",
         "media_ref",
@@ -195,7 +212,7 @@ def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame extraction: one row per uniformly-sampled frame
     (the one-to-many video fan-out; decode stubbed behind a digest)."""
-    df = docs_to_df(spark, corpus(16))
+    df = docs_to_df(spark, _media_docs())
     return media_frames(df).select(
         "doc_id",
         "media_ref",
@@ -213,6 +230,10 @@ def _sql_str(v) -> str:
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, float):
+        # repr(nan)/repr(inf) are barewords DuckDB's VALUES can't parse —
+        # fail HERE (oracle build) rather than as an opaque binder error
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite oracle literal: {v!r}")
         return repr(v)
     return str(v)
 
@@ -227,12 +248,11 @@ def _values_sql(rows: list[tuple], columns: list[str]) -> str:
 
 
 def oracle_redact_corpus_masks() -> str:
-    rows = []
-    for d in _corpus_docs():
-        out, _, _ = redact_document(d["doc_id"], d["spans"], [SSN_RULE])
-        n_masks = sum(1 for s in out if s["kind"] == "mask")
-        rows.append((d["doc_id"], n_masks, len(out)))
-    return _values_sql(rows, ["doc_id", "n_masks", "n_spans"])
+    return _mask_count_oracle(_corpus_docs(), [SSN_RULE])
+
+
+def oracle_redact_boxed_fragments() -> str:
+    return _mask_count_oracle(_boxed_docs(), _BOXED_RULES)
 
 
 def oracle_locate_demo_regions() -> str:
@@ -251,7 +271,7 @@ def oracle_locate_demo_regions() -> str:
 
 def oracle_flatten_corpus() -> str:
     rows = []
-    for d in corpus(16):
+    for d in _media_docs():
         out, _, _ = redact_document(d["doc_id"], d["spans"], [SSN_RULE], flatten=True)
         n_media = sum(1 for s in out if s["kind"] == "media")
         n_pages = sum(1 for s in out if s["kind"] == "page")
@@ -294,15 +314,11 @@ def oracle_region_page_summary() -> str:
 
 def oracle_media_frame_sample() -> str:
     rows = []
-    for d in corpus(16):
-        for s in d["spans"]:
-            if s["kind"] == "media":
-                payload = fetch_media_bytes(s["media_ref"])
-                m = decode_media(payload)
-                rows.append(
-                    (d["doc_id"], s["media_ref"], len(payload),
-                     m["n_frames"], m["width"], m["height"])
-                )
+    for doc_id, ref, payload in _local_media_refs():
+        m = decode_media(payload)
+        rows.append(
+            (doc_id, ref, len(payload), m["n_frames"], m["width"], m["height"])
+        )
     return _values_sql(
         rows, ["doc_id", "media_ref", "n_bytes", "n_frames", "width", "height"]
     )
@@ -310,16 +326,12 @@ def oracle_media_frame_sample() -> str:
 
 def oracle_media_thumbnails() -> str:
     rows = []
-    for d in corpus(16):
-        for sp in d["spans"]:
-            if sp["kind"] == "media":
-                p = fetch_media_bytes(sp["media_ref"])
-                m = decode_media(p)
-                t = resize_media(p, m["width"], m["height"])
-                rows.append(
-                    (d["doc_id"], sp["media_ref"], t["out_width"],
-                     t["out_height"], t["thumb_digest"])
-                )
+    for doc_id, ref, payload in _local_media_refs():
+        m = decode_media(payload)
+        t = resize_media(payload, m["width"], m["height"])
+        rows.append(
+            (doc_id, ref, t["out_width"], t["out_height"], t["thumb_digest"])
+        )
     return _values_sql(
         rows, ["doc_id", "media_ref", "out_width", "out_height", "thumb_digest"]
     )
@@ -327,15 +339,10 @@ def oracle_media_thumbnails() -> str:
 
 def oracle_media_frame_extract() -> str:
     rows = []
-    for d in corpus(16):
-        for sp in d["spans"]:
-            if sp["kind"] == "media":
-                p = fetch_media_bytes(sp["media_ref"])
-                m = decode_media(p)
-                for idx in sample_frame_indices(m["n_frames"]):
-                    rows.append(
-                        (d["doc_id"], sp["media_ref"], idx, frame_digest(p, idx))
-                    )
+    for doc_id, ref, payload in _local_media_refs():
+        m = decode_media(payload)
+        for idx in sample_frame_indices(m["n_frames"]):
+            rows.append((doc_id, ref, idx, frame_digest(payload, idx)))
     return _values_sql(rows, ["doc_id", "media_ref", "frame_idx", "frame_digest"])
 
 

@@ -1,11 +1,14 @@
 """Multimodal span plumbing: treat media as opaque binary + typed metadata.
 
 Real image/audio decoding libraries are not available in this environment,
-so the DECODE step is stubbed (``decode_media`` raises NotImplementedError
-unless the deterministic fake is requested) — but the Spark-side plumbing
-is real: binary payload fetch, Arrow-batched ``mapInPandas`` with a typed
-output schema, and partition-friendly batch shapes. Swapping the stub for
-PIL/ffmpeg is a function-body change only.
+so the DECODE step is stubbed: ``decode_media`` returns deterministic
+digest-derived fake metadata BY DEFAULT (``fake=True``), and the real
+decoder path (``fake=False``) raises NotImplementedError until PIL/ffmpeg
+exist — callers wiring real media must pass ``fake=False`` explicitly or
+they will ship fabricated width/height/n_frames. The Spark-side plumbing
+is real either way: binary payload fetch, Arrow-batched ``mapInPandas``
+with a typed output schema, and partition-friendly batch shapes.
+Swapping the stub for PIL/ffmpeg is a function-body change only.
 """
 
 from __future__ import annotations
@@ -86,6 +89,10 @@ def sample_frame_indices(n_frames: int, k: int = 4) -> list[int]:
     indices i*n//k so coverage spans the whole clip (the former
     stride-from-0 form was front-biased — n=15, k=4 gave [0,3,6,9],
     never sampling the last 5 frames; this gives [0,3,7,11])."""
+    if k < 1:
+        # range(k) would silently yield NO frames and every video would
+        # vanish from the frame-extract output
+        raise ValueError(f"k must be >= 1, got {k}")
     return sorted({i * n_frames // k for i in range(k) if i * n_frames // k < n_frames})
 
 
