@@ -158,6 +158,24 @@ def test_rank_select_regime_b_binning(spark):
         assert picked[(g, "q25")] == vals[int(n * 0.25)]
 
 
+def test_ivf_assign_is_map_only(spark):
+    """The IVF centroid-assignment stage must be a pure map pass: score
+    the K broadcast-constant centroids as an array column and argmax per
+    row. The round-4 shape (crossJoin + Window.partitionBy(vec_id)) blew
+    the corpus up 16x and shuffled it for a per-row decision — at 10^12
+    embeddings that is 16 corpus volumes through the wire. NO Exchange
+    of any kind may appear in the assign subplan."""
+    from pdfredact_spark.queries import _ivf_assign, _ivf_centroids, _t
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    assigned = _ivf_assign(emb, _ivf_centroids(spark, SF_DIR))
+    plan = plan_of(assigned)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    # and it really is one row per vector, every vector assigned
+    assert assigned.count() == emb.count()
+
+
 def test_topk_queries_use_take_ordered(spark):
     """Top-k must compile to TakeOrderedAndProject (distributed heaps),
     never an unpartitioned row_number window that funnels every candidate
