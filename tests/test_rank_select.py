@@ -156,6 +156,34 @@ def test_rank_select_ignores_null_values(spark):
         assert got == {"q50": 4.0}  # sorted[7//2] over the 7 non-nulls
 
 
+def test_star_cc_rounds_are_recompute_safe(spark, tmp_path):
+    """Round-4 verdict #3: CC rounds must not freeze lineage onto
+    executor-local cached blocks (localCheckpoint) — a lost block then
+    FAILS the query instead of recomputing, and node loss is routine at
+    1000 executors. Rounds are parquet-materialized instead: CC must
+    leave no new persistent RDDs behind, its lazy result must survive a
+    full cache wipe (re-collect identical — only files are referenced),
+    and the final round's files must exist on disk (the resume point)."""
+    import os
+
+    from pdfredact_spark.queries import _connected_components
+
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(100, 101)], "src long, dst long"
+    )
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    labels_df = _connected_components(edges, work_dir=str(tmp_path))
+    first = {(r["node"], r["label"]) for r in labels_df.collect()}
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before, (before, after)  # no frozen lineage blocks
+    # wipe every cached block: parquet-backed rounds must recompute
+    spark.catalog.clearCache()
+    assert {(r["node"], r["label"]) for r in labels_df.collect()} == first
+    assert first == {(i, 0) for i in range(n)} | {(100, 100), (101, 100)}
+    assert any(d.startswith("e_") for d in os.listdir(tmp_path))
+
+
 def test_star_cc_matches_propagation_on_random_graph(spark):
     """Cross-check: the star algorithm and round-3's min-label
     propagation must produce identical (node, label) sets on a seeded
