@@ -512,6 +512,82 @@ _SESSION_OUT = (
 _SESSION_STATE = "start_ts double, last_ts double, n long"
 
 
+def _sessionize_chunk(
+    ts_ns_chunks: list,
+    carried: tuple | None,
+    gap_sec: float,
+):
+    """VECTORIZED per-user gap sessionization of one micro-batch
+    (round-4 verdict: the per-event Python loop was the last
+    row-at-a-time hot path in the engine). Pure numpy, no Spark:
+
+    * ts_ns_chunks: int64 epoch-nanosecond arrays (one per Arrow chunk);
+    * carried: the restored (start, last, n) open-session state or None;
+    * returns (starts, ends, counts, new_state) where the three arrays
+      are the CLOSED sessions in chronological order (epoch-second
+      doubles / int64 counts) and new_state is the trailing open
+      session, or None if the batch carried no usable events.
+
+    Semantics are the loop's, exactly: sort the batch's timestamps; an
+    event older than carried_last - gap_sec is dropped (too late — and
+    because the array is sorted and the running `last` is monotone,
+    those form a PREFIX, so the drop is one searchsorted); a session
+    breaks wherever the gap to the running last exceeds gap_sec
+    ((ts - prev_running_last) > gap — the classic diff/cumsum split,
+    here realized with flatnonzero boundaries); the carried open session
+    either merges into segment 0 (extending start backwards, end
+    forwards) or closes ahead of every batch session. Sequential Python
+    touches only that O(1) boundary merge. Float discipline:
+    (ns // 1000) / 1e6 reproduces pd.Timestamp.timestamp() bitwise
+    (microsecond floor), so emitted doubles are unchanged vs the loop.
+    """
+    import numpy as np
+
+    if ts_ns_chunks:
+        ts = np.sort(np.concatenate(ts_ns_chunks))
+        ts = (ts // 1000) / 1e6
+    else:
+        ts = np.empty(0, dtype="float64")
+    c_start = c_last = None
+    c_n = 0
+    if carried is not None:
+        c_start, c_last, c_n = carried
+        # too-late drop: strictly below the open session's merge window
+        ts = ts[np.searchsorted(ts, c_last - gap_sec, side="left"):]
+    if ts.size == 0:
+        empty = np.empty(0, dtype="float64")
+        return empty, empty, np.empty(0, dtype="int64"), carried
+    prev = np.empty_like(ts)
+    prev[0] = c_last if c_last is not None else ts[0]
+    prev[1:] = ts[:-1]
+    if c_last is not None:
+        # running last never falls below the carried one (late events)
+        np.maximum(prev, c_last, out=prev)
+    b_idx = np.flatnonzero((ts - prev) > gap_sec)
+    # a break AT index 0 (only possible vs a carried last) closes the
+    # carried session; the batch's own segments still start at 0
+    inner = b_idx[b_idx > 0]
+    seg_lo = np.concatenate(([0], inner))
+    seg_hi = np.concatenate((inner, [ts.size]))
+    starts = ts[seg_lo]
+    ends = ts[seg_hi - 1]
+    counts = (seg_hi - seg_lo).astype("int64")
+    if c_last is not None:
+        if b_idx.size and b_idx[0] == 0:
+            # the first batch event already breaks: the carried session
+            # closes as-is, ahead of every batch session
+            starts = np.concatenate(([float(c_start)], starts))
+            ends = np.concatenate(([float(c_last)], ends))
+            counts = np.concatenate(([int(c_n)], counts))
+        else:
+            # segment 0 continues the carried session
+            starts[0] = min(float(c_start), starts[0])
+            ends[0] = max(float(c_last), ends[0])
+            counts[0] += int(c_n)
+    new_state = (float(starts[-1]), float(ends[-1]), int(counts[-1]))
+    return starts[:-1], ends[:-1], counts[:-1], new_state
+
+
 def sessionize_stream(
     spark: SparkSession,
     input_path: str,
@@ -523,6 +599,8 @@ def sessionize_stream(
     session) persists in the state store across availableNow runs, so a
     session spanning two ingestion waves closes correctly in the later run.
     Timestamps are emitted as epoch seconds (double) for a stable schema.
+    The per-batch work is fully vectorized — see _sessionize_chunk (numpy
+    sort + gap-break split); Python touches one boundary merge per user.
 
     Late data (round-4 review): events are sorted within a batch, but a
     LATER batch can deliver timestamps behind the restored state's
@@ -532,10 +610,14 @@ def sessionize_stream(
     always holds); an event older than last - gap_sec is DROPPED, the
     same too-late policy as the watermarked window stream (a batch
     operator with global order would have assigned it to an
-    already-closed session we cannot reopen). NULL timestamps are
-    dropped up front — pd.NaT.timestamp() raises, and one such row
-    would poison-pill the batch forever (the WAL replays it on every
-    restart).
+    already-closed session we cannot reopen). Consequently the
+    "emitted + open_sessions() == batch twin" completeness claim holds
+    for IN-ORDER input (each user's events never split across waves out
+    of order): a late event that chronologically belongs between two
+    already-emitted sessions is folded into the open one (or dropped),
+    where a batch operator with global order would have placed it
+    differently. NULL timestamps are dropped up front — pd.NaT would
+    poison-pill the batch forever (the WAL replays it on every restart).
 
     The trailing open session per user stays in the state store BY
     DESIGN (the next wave may extend it) — read it with open_sessions().
@@ -543,6 +625,7 @@ def sessionize_stream(
     eviction; under availableNow each drain is finite so the bound is
     #distinct users.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -554,35 +637,24 @@ def sessionize_stream(
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
-        if state.exists:
-            start, last, n = state.get
-        else:
-            start = last = None
-            n = 0
-        closed: list[tuple] = []
-        ts_all: list[float] = []
-        for pdf in pdfs:
-            ts_all.extend(t.timestamp() for t in pdf["ts"])
-        for t in sorted(ts_all):
-            if last is None:
-                start = last = t
-                n = 1
-            elif t - last > gap_sec:
-                closed.append((user_id, start, last, n))
-                start = last = t
-                n = 1
-            elif t < last - gap_sec:
-                continue  # too late: behind the open session's window
-            else:
-                # in-order, or late-but-mergeable: last is monotone
-                start = min(start, t)
-                last = max(last, t)
-                n += 1
-        if last is not None:
-            state.update((float(start), float(last), int(n)))
-        if closed:
+        carried = tuple(state.get) if state.exists else None
+        chunks = [
+            pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            for pdf in pdfs
+        ]
+        starts, ends, counts, new_state = _sessionize_chunk(
+            chunks, carried, gap_sec
+        )
+        if new_state is not None:
+            state.update(new_state)
+        if starts.size:
             yield pd.DataFrame(
-                closed, columns=["user_id", "session_start", "session_end", "n_events"]
+                {
+                    "user_id": np.full(starts.size, user_id, dtype="int64"),
+                    "session_start": starts,
+                    "session_end": ends,
+                    "n_events": counts,
+                }
             )
 
     q = (

@@ -129,6 +129,68 @@ def test_sessionize_late_and_null_events(spark, tmp_path):
     assert opens == [(7, sec(1200).timestamp(), 1)]
 
 
+def test_sessionize_chunk_matches_loop_reference():
+    """Round-4 verdict #1: the sessionizer's batch path is vectorized
+    numpy (_sessionize_chunk). Property-pin it against the straightline
+    per-event loop (the round-4 implementation, reproduced here as the
+    semantic twin) on seeded random waves: in-order, late-mergeable,
+    too-late, dense-tie and empty shapes, with and without carried
+    state — closed sessions AND the trailing open state must match
+    exactly, floats bitwise."""
+    import random
+
+    from pdfredact_spark.streaming import _sessionize_chunk
+
+    def loop_twin(ts_ns, carried, gap):
+        start, last, n = carried if carried else (None, None, 0)
+        closed = []
+        for t in sorted((v // 1000) / 1e6 for v in ts_ns):
+            if last is None:
+                start = last = t
+                n = 1
+            elif t - last > gap:
+                closed.append((start, last, n))
+                start = last = t
+                n = 1
+            elif t < last - gap:
+                continue
+            else:
+                start = min(start, t)
+                last = max(last, t)
+                n += 1
+        state = (float(start), float(last), int(n)) if last is not None else None
+        return closed, state
+
+    rng = random.Random(20260817)
+    base_ns = 1_700_000_000_000_000_000
+    for trial in range(200):
+        gap = rng.choice([1.0, 30.0, 1800.0])
+        n_ev = rng.choice([0, 1, 2, 7, 40])
+        spread = rng.choice([0.2, 3.0, 5_000.0])
+        ts_ns = [
+            base_ns + int(rng.random() * spread * gap * 1e6) * 1000
+            for _ in range(n_ev)
+        ]
+        carried = None
+        if rng.random() < 0.6 and n_ev:
+            mid = base_ns + int(rng.random() * spread * gap * 1e6) * 1000
+            c_last = (mid // 1000) / 1e6
+            carried = (c_last - rng.random() * gap, c_last, rng.randint(1, 5))
+        # chunked delivery must not matter
+        cut = rng.randint(0, n_ev) if n_ev else 0
+        import numpy as np
+
+        chunks = [
+            np.array(ts_ns[:cut], dtype="int64"),
+            np.array(ts_ns[cut:], dtype="int64"),
+        ]
+        starts, ends, counts, state = _sessionize_chunk(chunks, carried, gap)
+        got_closed = list(zip(starts.tolist(), ends.tolist(), counts.tolist()))
+        want_closed, want_state = loop_twin(ts_ns, carried, gap)
+        assert got_closed == want_closed, (trial, got_closed, want_closed)
+        assert state == want_state, (trial, state, want_state)
+
+
 def test_resumable_all_error_corpus_returns_empty(spark, tmp_path):
     """Round-4 review: when every doc is quarantined (or input is
     empty), partitionBy writes only _SUCCESS markers; the final read
