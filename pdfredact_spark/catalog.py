@@ -27,6 +27,93 @@ def _is_table_name(target: str) -> bool:
     return "/" not in target and not target.startswith("file:")
 
 
+class LedgerStorage:
+    """Storage-layer operations the streaming dedup ledger and its
+    compaction need (ADVICE r4 / round-4 verdict #4): listing delta and
+    generation directories, recursive delete of absorbed inputs, the
+    atomic meta-pointer flip, and the metrics walk. The compaction
+    algorithm orders its steps (write gen G+1 fully -> flip pointer ->
+    delete absorbed inputs) so any backend whose pointer flip is atomic
+    is crash-safe; everything filesystem-specific lives HERE, so an
+    object-store deployment (no atomic rename, prefix listing instead
+    of directories) swaps one class — e.g. a conditional-PUT meta flip —
+    without touching streaming.py.
+
+    This default implementation is the local/POSIX filesystem (matching
+    the sandbox and any HDFS-fuse mount): os.replace gives the atomic
+    pointer flip, os.walk the listing.
+    """
+
+    def join(self, *parts: str) -> str:
+        import os
+
+        return os.path.join(*parts)
+
+    def read_json(self, path: str) -> dict | None:
+        import json
+        import os
+
+        if not os.path.isfile(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    def write_json_atomic(self, path: str, obj: dict) -> None:
+        """Readers must see either the old or the new pointer, never a
+        partial write: write-then-rename (POSIX rename atomicity)."""
+        import json
+        import os
+
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(obj, fh)
+        os.replace(tmp, path)
+
+    def list_dirs(self, pattern: str) -> list[str]:
+        import glob
+
+        return sorted(glob.glob(pattern))
+
+    def is_dir(self, path: str) -> bool:
+        import os
+
+        return os.path.isdir(path)
+
+    def delete_tree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+    def has_parquet(self, path: str) -> bool:
+        """True if any .parquet file exists under path. An all-duplicate
+        micro-batch writes a ledger delta containing only _SUCCESS;
+        reading such a directory raises UNABLE_TO_INFER_SCHEMA, so every
+        ledger read must skip file-less directories."""
+        import os
+
+        for _root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def parquet_bytes_under(self, paths: list[str]) -> int:
+        """Metrics-only (test soaks): bytes of parquet under the paths."""
+        import os
+
+        total = 0
+        for p in paths:
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        return total
+
+
+LOCAL_LEDGER_STORAGE = LedgerStorage()
+
+
 class Catalog:
     """Format-agnostic read/append/overwrite for the engine's tables."""
 

@@ -159,27 +159,23 @@ def ledger_scan(
 # O(batch_distinct_fps x target_rows_per_prefix + uncompacted_deltas).
 
 
-def _ledger_meta_path(out_dir: str) -> str:
-    return os.path.join(out_dir, "ledger_meta.json")
+# ALL filesystem I/O in the ledger/compaction path goes through the
+# LedgerStorage interface (catalog.py; ADVICE r4): the local/POSIX
+# implementation ships, an object-store backend is one swapped class.
+from pdfredact_spark.catalog import LOCAL_LEDGER_STORAGE, LedgerStorage
 
 
-def _read_ledger_meta(out_dir: str) -> dict | None:
-    import json
-
-    p = _ledger_meta_path(out_dir)
-    if not os.path.isfile(p):
-        return None
-    with open(p) as fh:
-        return json.load(fh)
+def _read_ledger_meta(
+    out_dir: str, storage: LedgerStorage = LOCAL_LEDGER_STORAGE
+) -> dict | None:
+    return storage.read_json(storage.join(out_dir, "ledger_meta.json"))
 
 
-def _write_ledger_meta(out_dir: str, meta: dict) -> None:
-    import json
-
-    tmp = _ledger_meta_path(out_dir) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, _ledger_meta_path(out_dir))  # atomic pointer flip
+def _write_ledger_meta(
+    out_dir: str, meta: dict, storage: LedgerStorage = LOCAL_LEDGER_STORAGE
+) -> None:
+    # atomic pointer flip (see LedgerStorage.write_json_atomic)
+    storage.write_json_atomic(storage.join(out_dir, "ledger_meta.json"), meta)
 
 
 def _prefix_len_for(total_rows: int, target_rows_per_prefix: int) -> int:
@@ -189,19 +185,11 @@ def _prefix_len_for(total_rows: int, target_rows_per_prefix: int) -> int:
     return k
 
 
-def _has_parquet(path: str) -> bool:
-    """True if any .parquet file exists under path. An all-duplicate
-    micro-batch writes a ledger delta containing only _SUCCESS; reading
-    such a directory raises UNABLE_TO_INFER_SCHEMA, so every ledger read
-    must skip file-less directories (they carry no fingerprints)."""
-    for _root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
-
-
 def compact_ledger(
-    spark: SparkSession, out_dir: str, target_rows_per_prefix: int = 1_000_000
+    spark: SparkSession,
+    out_dir: str,
+    target_rows_per_prefix: int = 1_000_000,
+    storage: LedgerStorage = LOCAL_LEDGER_STORAGE,
 ) -> dict | None:
     """Fold every delta segment plus the previous compacted generation
     into generation G+1 under out_dir/ledger_compacted/gen=G+1/pfx=x<k
@@ -218,26 +206,24 @@ def compact_ledger(
     re-absorb rows that the per-fp groupBy folds away. Duplicate fps
     visible during the in-between window are harmless to an anti-join.
     Returns the new meta, or None if there is nothing to compact."""
-    import glob
-    import shutil
-
-    ledger_dir = os.path.join(out_dir, "ledger")
-    comp_root = os.path.join(out_dir, "ledger_compacted")
-    meta = _read_ledger_meta(out_dir)
-    all_delta_dirs = sorted(glob.glob(os.path.join(ledger_dir, "batch=*")))
-    delta_dirs = [d for d in all_delta_dirs if _has_parquet(d)]
+    join = storage.join
+    ledger_dir = join(out_dir, "ledger")
+    comp_root = join(out_dir, "ledger_compacted")
+    meta = _read_ledger_meta(out_dir, storage)
+    all_delta_dirs = storage.list_dirs(join(ledger_dir, "batch=*"))
+    delta_dirs = [d for d in all_delta_dirs if storage.has_parquet(d)]
     if not delta_dirs:
         # nothing new to fold; empty (all-duplicate-batch) deltas are
         # trivially absorbed — remove them so they never poison a read
         for d in all_delta_dirs:
-            shutil.rmtree(d, ignore_errors=True)
+            storage.delete_tree(d)
         return meta
     parts = []
     if meta is not None:
-        old = spark.read.parquet(os.path.join(comp_root, f"gen={meta['gen']}"))
+        old = spark.read.parquet(join(comp_root, f"gen={meta['gen']}"))
         parts.append(old.select("fp", "batch"))
     for d in delta_dirs:
-        b = int(os.path.basename(d).split("=", 1)[1])
+        b = int(d.rstrip("/").rsplit("=", 1)[1])
         parts.append(
             spark.read.parquet(d).select("fp").withColumn("batch", F.lit(b))
         )
@@ -249,7 +235,7 @@ def compact_ledger(
         total = merged.count()
         k = _prefix_len_for(total, target_rows_per_prefix)
         gen = (meta["gen"] + 1) if meta is not None else 0
-        gen_dir = os.path.join(comp_root, f"gen={gen}")
+        gen_dir = join(comp_root, f"gen={gen}")
         (
             merged.withColumn("pfx", F.concat(F.lit("x"), F.substring("fp", 1, k)))
             .repartition("pfx")
@@ -259,25 +245,13 @@ def compact_ledger(
         )
     finally:
         merged.unpersist()
-    _write_ledger_meta(out_dir, {"gen": gen, "prefix_len": k, "n_rows": total})
+    _write_ledger_meta(out_dir, {"gen": gen, "prefix_len": k, "n_rows": total}, storage)
     for d in all_delta_dirs:
-        shutil.rmtree(d, ignore_errors=True)
-    for g in glob.glob(os.path.join(comp_root, "gen=*")):
-        if os.path.basename(g) != f"gen={gen}":
-            shutil.rmtree(g, ignore_errors=True)
+        storage.delete_tree(d)
+    for g in storage.list_dirs(join(comp_root, "gen=*")):
+        if not g.rstrip("/").endswith(f"gen={gen}"):
+            storage.delete_tree(g)
     return {"gen": gen, "prefix_len": k, "n_rows": total}
-
-
-def _parquet_bytes_under(paths: list[str]) -> int:
-    total = 0
-    for p in paths:
-        for root, _dirs, files in os.walk(p):
-            total += sum(
-                os.path.getsize(os.path.join(root, f))
-                for f in files
-                if f.endswith(".parquet")
-            )
-    return total
 
 
 def _compacted_scan(
@@ -288,6 +262,7 @@ def _compacted_scan(
     exclude_batch: int,
     metrics_entry: dict,
     count_rows: bool = False,
+    storage: LedgerStorage = LOCAL_LEDGER_STORAGE,
 ) -> DataFrame | None:
     """Read the compacted ledger generation pruned to the given x-guarded
     prefixes (None = full fallback scan when the batch exceeded the
@@ -295,23 +270,23 @@ def _compacted_scan(
     matching pfx directories are handed to the reader — so the bytes
     read are exactly the listed files (recorded in metrics_entry) with
     no reliance on reader-side partition pruning."""
-    gen_dir = os.path.join(out_dir, "ledger_compacted", f"gen={meta['gen']}")
+    gen_dir = storage.join(out_dir, "ledger_compacted", f"gen={meta['gen']}")
     if prefixes is None:
         paths = [gen_dir]
     else:
         paths = [
-            os.path.join(gen_dir, f"pfx={p}")
+            storage.join(gen_dir, f"pfx={p}")
             for p in prefixes
-            if os.path.isdir(os.path.join(gen_dir, f"pfx={p}"))
+            if storage.is_dir(storage.join(gen_dir, f"pfx={p}"))
         ]
     if count_rows:
-        # metrics-only bookkeeping (tests/soaks): the filesystem walk and
+        # metrics-only bookkeeping (tests/soaks): the storage walk and
         # the row-count job are skipped entirely in production
         # (metrics=None) — only the path list above, which the read
         # itself needs, is always built
         metrics_entry["compacted_full_scan"] = prefixes is None
         metrics_entry["compacted_prefixes_read"] = len(paths)
-        metrics_entry["compacted_bytes_read"] = _parquet_bytes_under(paths)
+        metrics_entry["compacted_bytes_read"] = storage.parquet_bytes_under(paths)
         metrics_entry["compacted_paths"] = list(paths)
         if paths:
             # rows in the scanned dirs — the scale-faithful read metric;
@@ -337,6 +312,7 @@ def dedup_stream(
     target_rows_per_prefix: int = 1_000_000,
     max_prefixes: int = 4096,
     metrics: list | None = None,
+    storage: LedgerStorage = LOCAL_LEDGER_STORAGE,
 ) -> int:
     """Streaming exact dedup over a continuously-ingested documents table:
     each micro-batch keeps one row per content fingerprint (min doc_id —
@@ -373,8 +349,6 @@ def dedup_stream(
     n_batches = {"n": 0}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        import glob
-
         w = Window.partitionBy("fp").orderBy("doc_id")
         # NULL text gets the literal fingerprint 'nulltext' (no hex chars
         # beyond a-f would matter — it can never collide with a 32-hex
@@ -405,7 +379,7 @@ def dedup_stream(
         fresh.persist()
         try:
             seen_parts: list[DataFrame] = []
-            meta = _read_ledger_meta(out_dir)
+            meta = _read_ledger_meta(out_dir, storage)
             prefixes: list[str] | None = None
             if meta is not None:
                 k = int(meta["prefix_len"])
@@ -425,14 +399,14 @@ def dedup_stream(
                 )
                 comp = _compacted_scan(
                     spark, out_dir, meta, prefixes, batch_id, m,
-                    count_rows=metrics is not None,
+                    count_rows=metrics is not None, storage=storage,
                 )
                 if comp is not None:
                     seen_parts.append(comp)
             delta_dirs = [
                 d
-                for d in glob.glob(os.path.join(ledger_dir, "batch=*"))
-                if _has_parquet(d)  # all-dup batches leave file-less dirs
+                for d in storage.list_dirs(storage.join(ledger_dir, "batch=*"))
+                if storage.has_parquet(d)  # all-dup batches leave file-less dirs
             ]
             if delta_dirs:
                 if prefixes is not None:
@@ -492,11 +466,9 @@ def dedup_stream(
     )
     q.awaitTermination()
     if compact_every is not None:
-        import glob
-
-        n_deltas = len(glob.glob(os.path.join(ledger_dir, "batch=*")))
+        n_deltas = len(storage.list_dirs(storage.join(ledger_dir, "batch=*")))
         if n_deltas >= compact_every:
-            compact_ledger(spark, out_dir, target_rows_per_prefix)
+            compact_ledger(spark, out_dir, target_rows_per_prefix, storage)
     return n_batches["n"]
 
 

@@ -77,7 +77,9 @@ def test_driver_window():
     from pdfredact_spark.corpus_queries import PIPELINE_QUERIES
 
     names = list(QUERIES)
-    assert len(names) <= 50, f"{len(names)} queries; driver grades only 50"
+    # EXACTLY 50 (ADVICE r4): <= would let an accidentally-dropped query
+    # silently shrink the graded evidence set with the gate still green
+    assert len(names) == 50, f"{len(names)} queries; driver grades exactly 50"
     assert names[: len(PIPELINE_QUERIES)] == list(PIPELINE_QUERIES)
     assert set(ORACLES) == set(names)  # every graded query has an oracle
 

@@ -373,6 +373,76 @@ def test_compaction_recovers_from_crashed_generation(spark, tmp_path):
     assert got == {"a": 1, "b": 2, "c": 3, "d": 6}
 
 
+def test_compaction_routes_all_io_through_ledger_storage(spark, tmp_path):
+    """ADVICE r4 / round-4 verdict #4: every filesystem operation in the
+    ledger + compaction path must go through the LedgerStorage interface
+    (catalog.py) so an object-store backend is one swapped class. Drive
+    two compacting waves through an instrumented storage and assert (a)
+    dedup semantics are unchanged, (b) the meta flip / deletes / listing
+    all went through the interface, (c) streaming.py's source carries no
+    direct os.walk/shutil/glob/os.replace calls anymore."""
+    import inspect
+
+    import pdfredact_spark.streaming as S
+    from pdfredact_spark.catalog import LedgerStorage
+    from pdfredact_spark.streaming import dedup_stream
+
+    class Recording(LedgerStorage):
+        def __init__(self):
+            self.calls: set = set()
+
+        def _rec(self, name):
+            self.calls.add(name)
+
+        def read_json(self, path):
+            self._rec("read_json")
+            return super().read_json(path)
+
+        def write_json_atomic(self, path, obj):
+            self._rec("write_json_atomic")
+            return super().write_json_atomic(path, obj)
+
+        def list_dirs(self, pattern):
+            self._rec("list_dirs")
+            return super().list_dirs(pattern)
+
+        def is_dir(self, path):
+            self._rec("is_dir")
+            return super().is_dir(path)
+
+        def delete_tree(self, path):
+            self._rec("delete_tree")
+            return super().delete_tree(path)
+
+        def has_parquet(self, path):
+            self._rec("has_parquet")
+            return super().has_parquet(path)
+
+    storage = Recording()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    in_dir, out_dir = str(tmp_path / "docs"), str(tmp_path / "dd")
+
+    def wave(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        assert dedup_stream(spark, in_dir, out_dir, compact_every=1,
+                            target_rows_per_prefix=8, storage=storage) >= 1
+
+    wave([(1, "alpha", "en", "s", 5), (2, "beta", "en", "s", 4)])
+    wave([(3, "gamma", "en", "s", 5), (4, "alpha", "en", "s", 5)])
+    got = {r["text"]: r["doc_id"]
+           for r in spark.read.parquet(out_dir + "/data").collect()}
+    assert got == {"alpha": 1, "beta": 2, "gamma": 3}
+    assert {"read_json", "write_json_atomic", "list_dirs", "is_dir",
+            "delete_tree", "has_parquet"} <= storage.calls, storage.calls
+
+    src = inspect.getsource(S)
+    for pat in ("shutil", "os.walk", "os.replace", "glob.glob",
+                "os.path.isdir", "os.path.isfile"):
+        assert pat not in src, f"direct FS call {pat} in streaming.py"
+
+
 def test_dedup_ledger_compaction_bounds_reads(spark, tmp_path):
     """Round-3 verdict #2: the per-batch ledger read must stay ~flat as
     total ledger size grows. With compaction enabled, the compacted
