@@ -648,9 +648,13 @@ def open_sessions(spark: SparkSession, out_dir: str) -> DataFrame:
     streaming state store with Spark's built-in ``statestore`` batch
     source. Append mode can only emit a session once a later gap closes
     it, so a churned user's final session lives here until then — this
-    is the flush path that makes the stream's output complete: emitted
-    sessions + open_sessions() == the batch gap-sessionize of all data
-    seen so far (asserted in tests and the verify drive)."""
+    is the flush path that makes the stream's output complete: for
+    IN-ORDER input, emitted sessions + open_sessions() == the batch
+    gap-sessionize of all data seen so far (asserted in tests and the
+    verify drive). Out-of-order waves diverge by policy: a late event
+    merges into the open session or is dropped (see sessionize_stream),
+    where a batch operator with global order might have placed it in an
+    earlier, already-emitted session."""
     df = spark.read.format("statestore").load(
         os.path.join(out_dir, "_session_checkpoint")
     )
