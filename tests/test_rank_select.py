@@ -184,6 +184,35 @@ def test_star_cc_rounds_are_recompute_safe(spark, tmp_path):
     assert any(d.startswith("e_") for d in os.listdir(tmp_path))
 
 
+def test_star_cc_resumes_from_materialized_rounds(spark, tmp_path):
+    """A driver restart with the same work_dir and input fast-forwards
+    to the newest _SUCCESS-marked round instead of recomputing from
+    scratch (rounds are deterministic, so resuming is safe): the second
+    run executes exactly ONE convergence-confirm round and returns
+    identical labels."""
+    from pdfredact_spark.queries import _connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], "src long, dst long"
+    )
+    r1: list = []
+    r2: list = []
+    l1 = {
+        (r["node"], r["label"])
+        for r in _connected_components(
+            edges, _rounds=r1, work_dir=str(tmp_path)
+        ).collect()
+    }
+    l2 = {
+        (r["node"], r["label"])
+        for r in _connected_components(
+            edges, _rounds=r2, work_dir=str(tmp_path)
+        ).collect()
+    }
+    assert l1 == l2 == {(i, 0) for i in range(81)}
+    assert len(r1) >= 2 and len(r2) == 1, (r1, r2)
+
+
 def test_star_cc_matches_propagation_on_random_graph(spark):
     """Cross-check: the star algorithm and round-3's min-label
     propagation must produce identical (node, label) sets on a seeded
