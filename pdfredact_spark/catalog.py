@@ -79,6 +79,11 @@ class LedgerStorage:
 
         return os.path.isdir(path)
 
+    def is_file(self, path: str) -> bool:
+        import os
+
+        return os.path.isfile(path)
+
     def delete_tree(self, path: str) -> None:
         import shutil
 

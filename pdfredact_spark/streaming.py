@@ -588,8 +588,12 @@ def sessionize_stream(
     of order): a late event that chronologically belongs between two
     already-emitted sessions is folded into the open one (or dropped),
     where a batch operator with global order would have placed it
-    differently. NULL timestamps are dropped up front — pd.NaT would
-    poison-pill the batch forever (the WAL replays it on every restart).
+    differently. NULL timestamps AND NULL user_ids are dropped up
+    front: a NaT surviving to the numpy path would become int64-min
+    (epoch ~ -292e9 years) and silently suppress every real session via
+    the too-late prefix drop, and a NULL group key would crash
+    np.full(..., None, dtype=int64) — either way wedging the stream
+    forever, since the WAL replays the poisoned batch on every restart.
 
     The trailing open session per user stays in the state store BY
     DESIGN (the next wave may extend it) — read it with open_sessions().
@@ -604,7 +608,7 @@ def sessionize_stream(
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         .parquet(input_path)
-        .where(F.col("ts").isNotNull())
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     )
 
     def fn(key, pdfs, state: GroupState):

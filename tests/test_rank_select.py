@@ -192,25 +192,29 @@ def test_star_cc_resumes_from_materialized_rounds(spark, tmp_path):
     identical labels."""
     from pdfredact_spark.queries import _connected_components
 
+    import pytest
+
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(80)], "src long, dst long"
     )
     r1: list = []
     r2: list = []
-    l1 = {
-        (r["node"], r["label"])
-        for r in _connected_components(
-            edges, _rounds=r1, work_dir=str(tmp_path)
-        ).collect()
-    }
-    l2 = {
-        (r["node"], r["label"])
-        for r in _connected_components(
-            edges, _rounds=r2, work_dir=str(tmp_path)
-        ).collect()
-    }
+    df1 = _connected_components(edges, _rounds=r1, work_dir=str(tmp_path))
+    l1 = {(r["node"], r["label"]) for r in df1.collect()}
+    df2 = _connected_components(edges, _rounds=r2, work_dir=str(tmp_path))
+    l2 = {(r["node"], r["label"]) for r in df2.collect()}
     assert l1 == l2 == {(i, 0) for i in range(81)}
     assert len(r1) >= 2 and len(r2) == 1, (r1, r2)
+    # the first call's lazy result must SURVIVE the second run (round-5
+    # review: the resume round must not delete the handoff files a
+    # still-live DataFrame references)
+    assert {(r["node"], r["label"]) for r in df1.collect()} == l1
+
+    # guarded resume (round-5 review): a reused work_dir with DIFFERENT
+    # input must hard-fail, never silently return stale components
+    other = spark.createDataFrame([(500, 501)], "src long, dst long")
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        _connected_components(other, work_dir=str(tmp_path))
 
 
 def test_star_cc_matches_propagation_on_random_graph(spark):

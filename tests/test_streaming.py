@@ -107,9 +107,12 @@ def test_sessionize_late_and_null_events(spark, tmp_path):
     sessionize_stream(spark, in_dir, out_dir, gap_sec=100)
 
     # wave 2: 980 merges late (>= 1050-100), 890 dropped (< 950),
-    # NULL ts filtered, 1200 closes [980, 1050] and opens a new session
+    # NULL ts filtered, NULL user_id filtered (round-5 review: it would
+    # crash np.full(..., None, int64) and wedge the stream), 1200
+    # closes [980, 1050] and opens a new session
     spark.createDataFrame(
-        [(3, sec(980), 7), (4, sec(890), 7), (5, None, 7), (6, sec(1200), 7)],
+        [(3, sec(980), 7), (4, sec(890), 7), (5, None, 7),
+         (7, sec(1210), None), (6, sec(1200), 7)],
         schema,
     ).coalesce(1).write.mode("append").parquet(in_dir)
     sessionize_stream(spark, in_dir, out_dir, gap_sec=100)
