@@ -192,6 +192,13 @@ def test_sessionize_chunk_matches_loop_reference():
         want_closed, want_state = loop_twin(ts_ns, carried, gap)
         assert got_closed == want_closed, (trial, got_closed, want_closed)
         assert state == want_state, (trial, state, want_state)
+        # the shared (ns // 1000) / 1e6 conversion must itself be
+        # bitwise pd.Timestamp.timestamp() (what the round-4 loop
+        # emitted) — pin the equivalence, not just twin-vs-twin
+        import pandas as pd
+
+        for v in ts_ns[:3]:
+            assert (v // 1000) / 1e6 == pd.Timestamp(v).timestamp(), v
 
 
 def test_resumable_all_error_corpus_returns_empty(spark, tmp_path):
