@@ -158,5 +158,42 @@ for u, counts in batch_by_user.items():
 print("FLOW6 sessionizer: closed+open sessions == batch twin for",
       len(stream_by_user), "users")
 
+# ---- flow 7 (round 5): compacting dedup ledger at the submit surface --
+# Three ingestion waves with cross-wave duplicates, compacting after
+# every wave: output must be exactly the first occurrence of each text,
+# the compacted generation must advance with deltas absorbed, and the
+# last wave's anti-join must have read a PRUNED compacted slice (no
+# full scan) — the library-level soak's claims, demonstrated at the
+# north rule's spark-submit run mode.
+from pdfredact_spark.streaming import _read_ledger_meta, dedup_stream
+
+dd_in = os.path.join(out_root, "dd_in")
+dd_out = os.path.join(out_root, "dd_out")
+dd_schema = "doc_id long, text string, lang string, source string, n_chars long"
+dd_waves = [
+    [(1, "w0-a"), (2, "w0-b"), (3, "w0-a")],
+    [(4, "w0-b"), (5, "w1-c"), (6, "w1-d")],
+    [(7, "w1-c"), (8, "w2-e"), (9, "w0-a")],
+]
+dd_metrics: list = []
+for wv in dd_waves:
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in wv], dd_schema
+    ).coalesce(1).write.mode("append").parquet(dd_in)
+    wave_m: list = []
+    assert dedup_stream(spark, dd_in, dd_out, compact_every=1,
+                        target_rows_per_prefix=4, metrics=wave_m) >= 1
+    dd_metrics.append(wave_m)
+dd_got = {r["text"]: r["doc_id"]
+          for r in spark.read.parquet(dd_out + "/data").collect()}
+assert dd_got == {"w0-a": 1, "w0-b": 2, "w1-c": 5, "w1-d": 6, "w2-e": 8}, dd_got
+dd_meta = _read_ledger_meta(dd_out)
+assert dd_meta is not None and dd_meta["gen"] >= 1 and dd_meta["n_rows"] == 5
+last_wave = [m for m in dd_metrics[-1] if "compacted_full_scan" in m]
+assert last_wave and not any(m["compacted_full_scan"] for m in last_wave)
+assert all(m["compacted_prefixes_read"] >= 1 for m in last_wave)
+print("FLOW7 dedup ledger: first-occurrence set exact, gen",
+      dd_meta["gen"], "pruned reads", [m["compacted_prefixes_read"] for m in last_wave])
+
 print("VERIFY-DRIVE-OK")
 spark.stop()
