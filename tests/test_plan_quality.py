@@ -176,7 +176,20 @@ def test_ivf_assign_is_map_only(spark):
     assert assigned.count() == emb.count()
 
 
-def test_topk_queries_use_take_ordered(spark):
+def test_ann_batch_topk_has_no_per_query_funnel(spark):
+    """Batch ANN's grouped top-k must be TWO-LEVEL: the heavy candidate
+    sort runs per (q_id, input partition) — parallelism #partitions x
+    #queries — and only the <= 5-per-partition survivors reach the
+    per-query merge window. A single Window.partitionBy(q_id) would cap
+    parallelism at 8 tasks and funnel each query's whole candidate
+    slice through one sort."""
+    import re as _re
+
+    from pdfredact_spark.queries import SQL_QUERIES
+
+    plan = plan_of(SQL_QUERIES["ann_batch_topk"](spark, SF_DIR))
+    assert _re.search(r"windowspecdefinition\(q_id#\d+L?, pid#", plan), plan
+    assert plan.count("Window") >= 2, plan
     """Top-k must compile to TakeOrderedAndProject (distributed heaps),
     never an unpartitioned row_number window that funnels every candidate
     into one partition."""
