@@ -190,6 +190,9 @@ def test_ann_batch_topk_has_no_per_query_funnel(spark):
     plan = plan_of(SQL_QUERIES["ann_batch_topk"](spark, SF_DIR))
     assert _re.search(r"windowspecdefinition\(q_id#\d+L?, pid#", plan), plan
     assert plan.count("Window") >= 2, plan
+
+
+def test_topk_queries_use_take_ordered(spark):
     """Top-k must compile to TakeOrderedAndProject (distributed heaps),
     never an unpartitioned row_number window that funnels every candidate
     into one partition."""

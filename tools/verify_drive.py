@@ -1,5 +1,6 @@
 """End-to-end verify drive for pdfredact_spark (flows 1-4 of the verify
-skill + the streaming sessionizer parity drive, round-3 verdict #6).
+skill + flow 6, the streaming sessionizer parity drive (round-3 verdict
+#6) + flow 7, the compacting dedup ledger drive (round 5)).
 
 Run (from a cwd outside /root/repo so the zip, not the checkout, is
 imported):
