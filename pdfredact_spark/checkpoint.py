@@ -44,14 +44,53 @@ def _commit_dir(out_dir: str) -> str:
 
 
 def committed_batches(out_dir: str) -> set[int]:
+    import re
+
     cdir = _commit_dir(out_dir)
     if not os.path.isdir(cdir):
         return set()
     out = set()
     for name in os.listdir(cdir):
-        if name.startswith("batch-") and name.endswith(".json"):
-            out.add(int(name[len("batch-"):-len(".json")]))
+        # exact-name match only (round-5 review): a stray foreign file
+        # like "batch-0 (copy).json" must be ignored, not crash every
+        # later resume with int()'s ValueError. A file that doesn't
+        # match can't have been written by _commit, so skipping it never
+        # skips a real batch.
+        m = re.fullmatch(r"batch-(\d+)\.json", name)
+        if m:
+            out.add(int(m.group(1)))
     return out
+
+
+def _config_fingerprint(rules: list[Rule], flatten: bool, n_buckets: int) -> str:
+    """Deterministic digest of everything that changes a batch's OUTPUT:
+    the full rule list (order matters — apply order is deterministic),
+    the flatten toggle, and the bucket modulus. Stored in every manifest
+    so resume can refuse to mix batches redacted under different
+    configs (round-5 review: the n_buckets guard existed, the rules/
+    flatten axis did not — a killed job resumed with a different rules
+    file silently produced a mixed corpus)."""
+    import hashlib
+
+    payload = json.dumps(
+        {
+            "rules": [
+                [
+                    r.pattern,
+                    r.is_regex,
+                    r.case_sensitive,
+                    r.description,
+                    r.fragment_aware,
+                    r.regex_flags,
+                ]
+                for r in rules
+            ],
+            "flatten": flatten,
+            "n_buckets": n_buckets,
+        },
+        sort_keys=True,
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
 
 
 def _commit(out_dir: str, batch_id: int, manifest: dict) -> None:
@@ -61,7 +100,19 @@ def _commit(out_dir: str, batch_id: int, manifest: dict) -> None:
     final = os.path.join(cdir, f"batch-{batch_id}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2)
+        # rename is atomic vs process crash but NOT power loss: without
+        # fsync the rename can reach disk before the data blocks,
+        # leaving a truncated "committed" manifest that blocks resume
+        # (or skips a batch whose data never hit disk). fsync file, then
+        # rename, then fsync the directory entry.
+        f.flush()
+        os.fsync(f.fileno())
     os.rename(tmp, final)  # atomic commit point
+    dfd = os.open(cdir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def run_resumable(
@@ -83,6 +134,7 @@ def run_resumable(
     docs = docs.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     )
+    config_fp = _config_fingerprint(rules, flatten, n_buckets)
     done = committed_batches(out_dir)
     batch_ids = list(range((n_buckets + buckets_per_batch - 1) // buckets_per_batch))
 
@@ -112,6 +164,20 @@ def run_resumable(
                     f"{manifest.get('buckets')} of {manifest.get('n_buckets')} "
                     f"but this run derives {list(range(lo, hi))} of {n_buckets} "
                     f"— resume with the original n_buckets/buckets_per_batch"
+                )
+            if manifest.get("config_fp") != config_fp:
+                # Rules/flatten drift (round-5 review): a committed batch
+                # redacted under DIFFERENT rules (or flatten toggle) must
+                # not be silently mixed with this run's output. A
+                # manifest missing the field predates the guard and is
+                # equally unverifiable — hard error, the n_buckets
+                # precedent.
+                raise ValueError(
+                    f"batch {batch_id} was committed under config "
+                    f"{manifest.get('config_fp')} but this run's rules/"
+                    f"flatten fingerprint is {config_fp} — resume with "
+                    "the original rules and flatten setting (or use a "
+                    "fresh out_dir)"
                 )
             continue
         batch = docs.filter((F.col("bucket") >= lo) & (F.col("bucket") < hi))
@@ -178,6 +244,7 @@ def run_resumable(
                 "batch_id": batch_id,
                 "buckets": list(range(lo, hi)),
                 "n_buckets": n_buckets,
+                "config_fp": config_fp,
                 "n_errors": n_errors,
                 "errors": [{"doc_id": r["doc_id"], "error": r["error"]} for r in err_rows],
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -198,9 +265,20 @@ def run_resumable(
     # crashing AFTER all batches committed.
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    # Schema parity with the populated path (round-5 review): partition
+    # discovery over data/batch=<k>/bucket=<b>/ yields BOTH partition
+    # columns, so the empty frame must carry batch too or callers that
+    # select it break exactly on the edge case this fallback handles.
     fields = [f for f in REDACTED_SCHEMA.fields if f.name in ("doc_id", "spans")]
     return spark.createDataFrame(
-        [], StructType(fields + [StructField("bucket", IntegerType(), True)])
+        [],
+        StructType(
+            fields
+            + [
+                StructField("batch", IntegerType(), True),
+                StructField("bucket", IntegerType(), True),
+            ]
+        ),
     )
 
 

@@ -93,6 +93,13 @@ def sample_frame_indices(n_frames: int, k: int = 4) -> list[int]:
         # range(k) would silently yield NO frames and every video would
         # vanish from the frame-extract output
         raise ValueError(f"k must be >= 1, got {k}")
+    if n_frames < 1:
+        # same vanishing-video hazard from the other argument (round-5
+        # review): the deterministic fake decoder always reports >= 1
+        # frame, but a real decoder can return 0 for a corrupt/empty
+        # clip — fail fast so the caller routes it to an error channel
+        # instead of the clip silently dropping from the output
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
     return sorted({i * n_frames // k for i in range(k) if i * n_frames // k < n_frames})
 
 

@@ -148,3 +148,50 @@ def test_resume_rejects_manifest_missing_n_buckets(spark, tmp_path):
 
     with pytest.raises(ValueError, match="resume with the original"):
         run_resumable(spark, docs, out, [SSN_RULE], n_buckets=8, buckets_per_batch=4)
+
+
+def test_resume_rejects_rules_flatten_drift(spark, tmp_path):
+    """Round-5 review: the bucket guard alone lets a killed job resume
+    with a DIFFERENT rules file (or flatten toggled), silently mixing
+    batches redacted under different configs. The manifest carries a
+    rules+flatten fingerprint; any drift — including a manifest missing
+    the field — must hard-fail. A stray non-manifest file in _commits/
+    must be ignored, not crash the batch-id parse."""
+    import os
+
+    import pytest
+
+    from pdfredact_spark.checkpoint import run_resumable
+    from pdfredact_spark.fixtures import SSN_RULE, corpus
+    from pdfredact_spark.model import Rule
+    from pdfredact_spark.pipeline import docs_to_df
+
+    out = str(tmp_path / "o")
+    docs = docs_to_df(spark, corpus(12))
+    run_resumable(spark, docs, out, [SSN_RULE], n_buckets=8, buckets_per_batch=4)
+
+    # a foreign file in _commits/ is ignored (previously: ValueError on
+    # the int() parse wedged every later run)
+    with open(os.path.join(out, "_commits", "batch-0 (copy).json"), "w") as f:
+        f.write("{}")
+    run_resumable(spark, docs, out, [SSN_RULE], n_buckets=8, buckets_per_batch=4)
+
+    other_rule = Rule(pattern="zz-never", is_regex=False)
+    with pytest.raises(ValueError, match="fingerprint"):
+        run_resumable(spark, docs, out, [other_rule], n_buckets=8, buckets_per_batch=4)
+    with pytest.raises(ValueError, match="fingerprint"):
+        run_resumable(spark, docs, out, [SSN_RULE], n_buckets=8,
+                      buckets_per_batch=4, flatten=True)
+
+
+def test_sample_frame_indices_rejects_empty_clip():
+    """Round-5 review: n_frames=0 took the same silent vanishing-video
+    path the k<1 guard documents — a real decoder's corrupt/empty clip
+    must fail fast toward an error channel, not drop silently."""
+    import pytest
+
+    from pdfredact_spark.media import sample_frame_indices
+
+    assert sample_frame_indices(1, 4) == [0]
+    with pytest.raises(ValueError, match="n_frames"):
+        sample_frame_indices(0, 4)

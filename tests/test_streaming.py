@@ -219,7 +219,10 @@ def test_resumable_all_error_corpus_returns_empty(spark, tmp_path):
         buckets_per_batch=2,
     )
     assert out.count() == 0
-    assert set(out.columns) == {"doc_id", "spans", "bucket"}
+    # batch + bucket: the populated path's partition discovery over
+    # data/batch=<k>/bucket=<b>/ yields BOTH partition columns, and the
+    # empty fallback must match it (round-5 review)
+    assert set(out.columns) == {"doc_id", "spans", "batch", "bucket"}
 
 
 def test_dedup_stream_null_text_dedups(spark, tmp_path):
