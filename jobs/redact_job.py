@@ -125,10 +125,10 @@ def main() -> None:
         rules = build_rules(args, "Redacting PDF")
 
     from pdfredact_spark.pipeline import (
-        apply_plans,
+        apply_plans_full,
         locate_regions,
         read_plans,
-        redact,
+        redact_full,
         regions_to_plans,
         summary_from_plans,
     )
@@ -150,9 +150,8 @@ def main() -> None:
 
     elif args.cmd == "apply":
         plans = read_plans(spark, args.plan)
-        good, errors = apply_plans(docs, plans)
-        good.write.mode("overwrite").parquet(args.output)
-        _report_errors(errors, args.error_output, spark, docs, args.output)
+        _write_split(apply_plans_full(docs, plans), args.output,
+                     args.error_output, spark, docs)
         print(f"Redacted output saved to: {args.output}")
 
     else:  # redact / flatten (fused)
@@ -172,16 +171,45 @@ def main() -> None:
             # the MATERIALIZED plan instead of re-running the fused kernel
             # (locate+apply == fused is property-tested), mirroring
             # RedactCommand.cs: locate once, save, apply.
-            good, errors = apply_plans(docs, read_plans(spark, args.save_plan))
-            good.write.mode("overwrite").parquet(args.output)
-            _report_errors(errors, args.error_output, spark, docs, args.output)
+            _write_split(apply_plans_full(docs, read_plans(spark, args.save_plan)),
+                         args.output, args.error_output, spark, docs)
         else:
-            good, errors = redact(docs, rules, flatten=flatten)
-            good.write.mode("overwrite").parquet(args.output)
-            _report_errors(errors, args.error_output, spark, docs, args.output)
+            _write_split(redact_full(docs, rules, flatten=flatten),
+                         args.output, args.error_output, spark, docs)
         print(f"Redacted output saved to: {args.output}")
 
     spark.stop()
+
+
+def _write_split(full, output: str, error_output: str | None,
+                 spark, docs) -> None:
+    """Write the good view to ``output`` and handle the error side from
+    ONE execution of the Python stage. With --error-output the full
+    frame is persisted so the two writes share the computed result
+    (round-5 review: writing good then errors off the same unmaterialized
+    lineage re-executed the whole redaction — 2x the dominant cost; the
+    library docstring says materialize first, and run_resumable does)."""
+    from pyspark.sql import functions as F
+
+    if error_output:
+        full.persist()
+        try:
+            full.where(F.col("error").isNull()).select("doc_id", "spans") \
+                .write.mode("overwrite").parquet(output)
+            full.where(F.col("error").isNotNull()).select("doc_id", "error") \
+                .write.mode("overwrite").parquet(error_output)
+        finally:
+            full.unpersist()
+        print(f"Errored documents routed to: {error_output}")
+    else:
+        full.where(F.col("error").isNull()).select("doc_id", "spans") \
+            .write.mode("overwrite").parquet(output)
+        # error count = input docs - emitted docs (avoids recomputing the
+        # Python stage just to count the error side of the same lineage)
+        n = docs.count() - spark.read.parquet(output).count()
+        if n:
+            print(f"WARNING: {n} document(s) skipped (rotation fail-fast); "
+                  "pass --error-output to capture them")
 
 
 def _report_errors(errors, error_output: str | None,

@@ -97,12 +97,6 @@ def docs_to_df(spark: SparkSession, docs: list[dict]) -> DataFrame:
     return spark.createDataFrame(docs, schema=DOC_SCHEMA)
 
 
-def _num_partitions(df: DataFrame, requested: int | None) -> int:
-    if requested:
-        return requested
-    return df.sparkSession.sparkContext.defaultParallelism * 4
-
-
 def _span_batch_cols(rb, with_refs: bool = True):
     """Decompose an Arrow record batch's (doc_id, spans) into flat parallel
     child arrays + per-doc offset ranges — NO per-span Python dicts and no
@@ -137,6 +131,56 @@ def _span_batch_cols(rb, with_refs: bool = True):
     return doc_ids, valid, bounds, kinds, texts, refs, offs
 
 
+def _run_doc_batch(doc_ids, valid, bounds, per_doc):
+    """Shared error-routing batch driver for every doc-grain Arrow stage
+    (round-5 review: the fused-redact and plan-apply closures carried
+    near-verbatim copies of this accumulation loop; a routing fix applied
+    to one silently missed the other). ``per_doc(i, doc_id, a, b)``
+    returns the doc's (kinds, texts, refs, offsets, n_hits); raising
+    routes the doc to the error column — RotationError keeps the bare
+    reference message, anything else is prefixed with its type (a
+    10^12-doc corpus WILL contain garbage rows; route them, never fail
+    the job). NULL-spans rows (valid[i] False) are routed up front,
+    never emitted as cleanly-redacted empty documents. Returns the flat
+    output arrays + per-row starts (None start = null spans) ready for
+    _build_redacted_batch."""
+    out_k: list = []
+    out_t: list = []
+    out_r: list = []
+    out_o: list = []
+    # per-row list-start offsets; None marks a null (errored) row —
+    # pyarrow's null-offset convention for ListArray.from_arrays
+    starts: list = []
+    hits: list = []
+    errs: list = []
+    for i, d in enumerate(doc_ids):
+        if not valid[i]:
+            starts.append(None)
+            hits.append(0)
+            errs.append("ValueError: spans column is null")
+            continue
+        a, b = bounds[i], bounds[i + 1]
+        try:
+            k, t, r, o, h = per_doc(i, d, a, b)
+            starts.append(len(out_k))
+            out_k += k
+            out_t += t
+            out_r += r
+            out_o += o
+            hits.append(h)
+            errs.append(None)
+        except RotationError as e:
+            starts.append(None)
+            hits.append(0)
+            errs.append(str(e))
+        except Exception as e:  # noqa: BLE001 — malformed documents
+            starts.append(None)
+            hits.append(0)
+            errs.append(f"{type(e).__name__}: {e}")
+    starts.append(len(out_k))
+    return out_k, out_t, out_r, out_o, starts, hits, errs
+
+
 def _make_doc_map_arrow(rules: list[Rule], flatten: bool):
     """Doc-batch redactor over raw Arrow batches: one Python call per batch
     of complete documents, kernel fed with flat parallel arrays and output
@@ -145,48 +189,17 @@ def _make_doc_map_arrow(rules: list[Rule], flatten: bool):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             doc_ids, valid, bounds, kinds, texts, refs, offs = _span_batch_cols(rb)
-            out_k: list = []
-            out_t: list = []
-            out_r: list = []
-            out_o: list = []
-            # per-row list-start offsets; None marks a null (errored) row —
-            # pyarrow's null-offset convention for ListArray.from_arrays
-            starts: list = []
-            hits: list = []
-            errs: list = []
-            for i, d in enumerate(doc_ids):
-                if not valid[i]:
-                    # NULL spans (garbage row): route, never emit it as a
-                    # cleanly-redacted empty document.
-                    starts.append(None)
-                    hits.append(0)
-                    errs.append("ValueError: spans column is null")
-                    continue
-                a, b = bounds[i], bounds[i + 1]
-                try:
-                    k, t, r, o, _, h = redact_document_cols(
-                        d, kinds[a:b], texts[a:b], refs[a:b], offs[a:b],
-                        rules, flatten=flatten,
-                    )
-                    starts.append(len(out_k))
-                    out_k += k
-                    out_t += t
-                    out_r += r
-                    out_o += o
-                    hits.append(h)
-                    errs.append(None)
-                except RotationError as e:
-                    starts.append(None)
-                    hits.append(0)
-                    errs.append(str(e))
-                except Exception as e:  # noqa: BLE001 — malformed documents
-                    # A 10^12-doc corpus WILL contain garbage rows; route
-                    # them to the error output instead of failing the job.
-                    starts.append(None)
-                    hits.append(0)
-                    errs.append(f"{type(e).__name__}: {e}")
-            starts.append(len(out_k))
-            yield _build_redacted_batch(doc_ids, out_k, out_t, out_r, out_o, starts, hits, errs)
+
+            def per_doc(i, d, a, b):
+                k, t, r, o, _, h = redact_document_cols(
+                    d, kinds[a:b], texts[a:b], refs[a:b], offs[a:b],
+                    rules, flatten=flatten,
+                )
+                return k, t, r, o, h
+
+            yield _build_redacted_batch(
+                doc_ids, *_run_doc_batch(doc_ids, valid, bounds, per_doc)
+            )
 
     return fn
 
@@ -229,12 +242,16 @@ def _make_page_apply(rules: list[Rule], flatten: bool):
             k, t, r, o, _, h = redact_document_cols(
                 doc_id, kinds, texts, refs, offs, rules, flatten=flatten
             )
-        except RotationError as e:
+        except Exception as e:  # noqa: BLE001 — malformed mega docs too
+            # Same routing contract as the doc-grain path (round-5
+            # review: catching only RotationError let one garbage MEGA
+            # doc fail its task and, after retries, the whole job).
+            msg = str(e) if isinstance(e, RotationError) else f"{type(e).__name__}: {e}"
             return pa.table(
                 {
                     "doc_id": pa.array([doc_id], type=pa.string()),
                     "kind": pa.array(["__error__"], type=pa.string()),
-                    "text": pa.array([str(e)], type=pa.string()),
+                    "text": pa.array([msg], type=pa.string()),
                     "media_ref": pa.array([""], type=pa.string()),
                     "offset": pa.array([0], type=pa.int32()),
                     "n_hits": pa.array([0], type=pa.int32()),
@@ -285,11 +302,17 @@ def redact_full(
     set without flatten -> identity with zero hits (PdfPigTextLocator.cs:
     37-41 / ApplyCommand.cs:65-69 pass-through)."""
     if not rules and not flatten:
+        # identity pass-through — but NULL-spans garbage rows still route
+        # to the error column (round-5 review: every other path routes
+        # them; the pass-through emitted them as clean docs)
         return df.select(
             "doc_id",
             "spans",
             F.lit(0).cast("long").alias("n_rule_hits"),
-            F.lit(None).cast("string").alias("error"),
+            F.when(
+                F.col("spans").isNull(),
+                F.lit("ValueError: spans column is null"),
+            ).cast("string").alias("error"),
         )
 
     doc_map = _make_doc_map_arrow(rules, flatten)
@@ -298,14 +321,22 @@ def redact_full(
             df = df.repartition(num_partitions)
         return df.mapInArrow(doc_map, schema=REDACTED_SCHEMA)
 
-    P = _num_partitions(df, num_partitions)
-    is_mega = F.size("spans") > MEGA_SPAN_THRESHOLD
-
-    small_out = (
-        df.where(~is_mega)
-        .repartition(P, "doc_id")
-        .mapInArrow(doc_map, schema=REDACTED_SCHEMA)
+    # NULL-spans rows must take the doc-grain branch, where the Arrow
+    # stage routes them to the error output: a bare size() predicate is
+    # NULL for them, so BOTH filters would drop the doc silently
+    # (round-5 review).
+    is_mega = F.coalesce(
+        F.size("spans") > MEGA_SPAN_THRESHOLD, F.lit(False)
     )
+
+    # No unconditional repartition (round-5 review): rows are complete
+    # docs and the map needs no co-partitioning — parallelism comes from
+    # input splits, exactly like the default path; the docstring's cost
+    # model prices mega_split at two shuffles for the MEGA slice only.
+    small_src = df.where(~is_mega)
+    if num_partitions:
+        small_src = small_src.repartition(num_partitions, "doc_id")
+    small_out = small_src.mapInArrow(doc_map, schema=REDACTED_SCHEMA)
 
     # Mega path: explode -> per-page fan-out -> JVM reassembly.
     big = df.where(is_mega)
@@ -339,7 +370,13 @@ def redact_full(
         .select(
             "doc_id",
             F.when(F.col("error").isNull(), F.col("spans")).alias("spans"),
-            "n_rule_hits",
+            # path parity (round-5 review): the doc-grain branch reports
+            # n_rule_hits=0 for an errored doc; an errored mega doc must
+            # not keep hits summed from its successful pages
+            F.when(F.col("error").isNull(), F.col("n_rule_hits"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_rule_hits"),
             "error",
         )
     )
@@ -352,19 +389,11 @@ def redact(
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (redacted_docs, errors). Both derive from one single-pass
     plan; consuming BOTH triggers recompute — materialize redact_full()
-    first if you need both (checkpoint.run_resumable does)."""
-    if not rules and not flatten:
-        spark = df.sparkSession
-        empty = spark.createDataFrame(
-            [],
-            schema=StructType(
-                [
-                    StructField("doc_id", StringType(), False),
-                    StructField("error", StringType(), False),
-                ]
-            ),
-        )
-        return df, empty
+    first if you need both (checkpoint.run_resumable does). The
+    empty-rules case flows through redact_full's pass-through branch
+    (round-5 review: a verbatim `return df` leaked extra input columns
+    into the good output and emitted NULL-spans garbage rows as clean
+    docs)."""
     full = redact_full(df, rules, flatten, num_partitions, mega_split)
     good = full.where(F.col("error").isNull()).select("doc_id", "spans")
     errors = full.where(F.col("error").isNotNull()).select("doc_id", "error")
@@ -435,8 +464,12 @@ def locate_regions(
                        "matched_text", "rule_pattern", "page_rotation"],
             )
 
-    P = _num_partitions(df, num_partitions)
-    return df.repartition(P, "doc_id").mapInArrow(fn, schema=REGION_SCHEMA)
+    # repartition only on request (round-5 review): the map is purely
+    # row-wise over complete docs, so the default path inherits input-
+    # split parallelism instead of hash-shuffling the full span table
+    if num_partitions:
+        df = df.repartition(num_partitions, "doc_id")
+    return df.mapInArrow(fn, schema=REGION_SCHEMA)
 
 
 def region_summary(regions: DataFrame) -> DataFrame:
@@ -513,21 +546,34 @@ def summary_from_plans(plans: DataFrame) -> DataFrame:
     )
 
 
-def apply_plans(docs: DataFrame, plans: DataFrame) -> tuple[DataFrame, DataFrame]:
+def apply_plans_full(docs: DataFrame, plans: DataFrame) -> DataFrame:
     """Decoupled apply: join saved plans to documents on doc_id and mask
     geometrically (kernel.apply_plan). Docs without a plan copy through
     verbatim (S7 pass-through). Plans are per-doc small — AQE broadcasts
-    the side that qualifies."""
+    the side that qualifies. Returns the full REDACTED_SCHEMA frame;
+    callers consuming both good and error views should materialize it
+    once (the CLI persists it when --error-output is set).
+
+    Duplicate plans for one sourcePdfPath (two plan runs appended into
+    one directory) are a per-doc ERROR, not a silent row multiplication
+    (round-5 review: the bare left join emitted the doc once per
+    duplicate, each independently redacted): plans pre-aggregate per
+    doc_id with a count, and docs whose count exceeds 1 route to the
+    error output."""
     from pdfredact_spark.kernel import Region as KRegion
     from pdfredact_spark.kernel import apply_plan_cols
 
-    joined = docs.join(
+    plans_agg = (
         plans.select(
             F.col("sourcePdfPath").alias("doc_id"), F.col("regions").alias("plan_regions")
-        ),
-        "doc_id",
-        "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.first("plan_regions").alias("plan_regions"),
+            F.count("*").cast("int").alias("n_plans"),
+        )
     )
+    joined = docs.join(plans_agg, "doc_id", "left")
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
@@ -535,55 +581,41 @@ def apply_plans(docs: DataFrame, plans: DataFrame) -> tuple[DataFrame, DataFrame
             # Plans are per-doc tiny (a handful of regions); a plain
             # to_pylist of the (mostly-null) list column is fine here.
             plan_lists = rb.column(rb.schema.get_field_index("plan_regions")).to_pylist()
-            out_k: list = []
-            out_t: list = []
-            out_r: list = []
-            out_o: list = []
-            starts: list = []
-            hits: list = []
-            errs: list = []
-            for i, d in enumerate(doc_ids):
-                if not valid[i]:
-                    starts.append(None)
-                    hits.append(0)
-                    errs.append("ValueError: spans column is null")
-                    continue
-                a, b = bounds[i], bounds[i + 1]
-                try:
-                    regions = [
-                        KRegion(
-                            page=r["pageNumber"], x=r["x"], y=r["y"],
-                            width=r["width"], height=r["height"],
-                            matched_text=r["matchedText"], rule_pattern=r["rulePattern"],
-                            rotation=r["pageRotation"],
-                        )
-                        for r in (plan_lists[i] or [])
-                    ]
-                    k, t, r, o, n = apply_plan_cols(
-                        d, kinds[a:b], texts[a:b], refs[a:b], offs[a:b], regions
-                    )
-                    starts.append(len(out_k))
-                    out_k += k
-                    out_t += t
-                    out_r += r
-                    out_o += o
-                    hits.append(n)
-                    errs.append(None)
-                except RotationError as e:
-                    starts.append(None)
-                    hits.append(0)
-                    errs.append(str(e))
-                except Exception as e:  # noqa: BLE001 — malformed plan rows
-                    # read_plans uses a permissive nullable JSON schema; a
-                    # truncated or hand-edited plan (null coordinates)
-                    # must quarantine the doc, not kill the apply job.
-                    starts.append(None)
-                    hits.append(0)
-                    errs.append(f"{type(e).__name__}: {e}")
-            starts.append(len(out_k))
-            yield _build_redacted_batch(doc_ids, out_k, out_t, out_r, out_o, starts, hits, errs)
+            n_plans = rb.column(rb.schema.get_field_index("n_plans")).to_pylist()
 
-    full = joined.mapInArrow(fn, schema=REDACTED_SCHEMA)
+            def per_doc(i, d, a, b):
+                # read_plans uses a permissive nullable JSON schema; a
+                # truncated or hand-edited plan (null coordinates) raises
+                # here and the shared driver quarantines the doc instead
+                # of killing the apply job.
+                if (n_plans[i] or 0) > 1:
+                    raise ValueError(
+                        f"{n_plans[i]} plans found for this document"
+                    )
+                regions = [
+                    KRegion(
+                        page=r["pageNumber"], x=r["x"], y=r["y"],
+                        width=r["width"], height=r["height"],
+                        matched_text=r["matchedText"], rule_pattern=r["rulePattern"],
+                        rotation=r["pageRotation"],
+                    )
+                    for r in (plan_lists[i] or [])
+                ]
+                return apply_plan_cols(
+                    d, kinds[a:b], texts[a:b], refs[a:b], offs[a:b], regions
+                )
+
+            yield _build_redacted_batch(
+                doc_ids, *_run_doc_batch(doc_ids, valid, bounds, per_doc)
+            )
+
+    return joined.mapInArrow(fn, schema=REDACTED_SCHEMA)
+
+
+def apply_plans(docs: DataFrame, plans: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, errors) views over apply_plans_full — consuming both
+    recomputes the Python stage unless the caller materializes first."""
+    full = apply_plans_full(docs, plans)
     good = full.where(F.col("error").isNull()).select("doc_id", "spans")
     errors = full.where(F.col("error").isNotNull()).select("doc_id", "error")
     return good, errors

@@ -60,6 +60,12 @@ def load_plan(file_path: str) -> tuple[str, list[Region]]:
         # any non-object) deserializes to no plan -> one clean error, not a
         # raw KeyError/TypeError from the field access below.
         raise ValueError("Failed to deserialize redaction plan")
+    raw_regions = data.get("regions") or []
+    if not all(isinstance(r, dict) for r in raw_regions):
+        # Per-element parity (round-5 review): `"regions": [null]` or a
+        # non-object element must produce the same clean deserializer
+        # error as a non-object document, not a raw AttributeError.
+        raise ValueError("Failed to deserialize redaction plan")
     regions = [
         # Missing numeric properties default to 0, like the C# System.Text
         # .Json deserializer's value-type defaults — never a raw KeyError.
@@ -75,6 +81,6 @@ def load_plan(file_path: str) -> tuple[str, list[Region]]:
         )
         # Missing properties take the model defaults, like the C# plan's
         # `Regions = new()` / `SourcePdfPath = string.Empty` initializers.
-        for r in data.get("regions") or []
+        for r in raw_regions
     ]
     return data.get("sourcePdfPath", ""), regions

@@ -93,3 +93,26 @@ def test_plan_summary_reads_materialized_json(spark, tmp_path, monkeypatch, caps
     assert "Mode: Regex" in out
     assert "Fragment-aware: auto-detect (enabled for numeric patterns)" in out
     assert "region(s) to redact" in out
+
+
+def test_write_split_routes_errors_without_recompute(spark, tmp_path):
+    """Round-5 review: with --error-output the CLI wrote good then errors
+    off the SAME unmaterialized lineage, re-executing the whole Python
+    redaction stage. _write_split persists the full frame once and
+    derives both writes; outputs must split exactly."""
+    from pdfredact_spark.fixtures import SSN_RULE, corpus, demo_doc
+    from pdfredact_spark.pipeline import docs_to_df, redact_full
+
+    mod = _load_job_module()
+    docs = docs_to_df(spark, corpus(6) + [demo_doc("rot-x", rotation_page1=90)])
+    out_p, err_p = str(tmp_path / "out"), str(tmp_path / "errs")
+    cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    mod._write_split(redact_full(docs, [SSN_RULE]), out_p, err_p, spark, docs)
+    good_ids = {r["doc_id"] for r in spark.read.parquet(out_p).collect()}
+    errs = {r["doc_id"]: r["error"] for r in spark.read.parquet(err_p).collect()}
+    assert len(good_ids) == 6 and "rot-x" not in good_ids
+    assert set(errs) == {"rot-x"} and "rotation" in errs["rot-x"].lower()
+    # no lingering cache after the split writes
+    assert (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= cached_before
+    )

@@ -77,11 +77,94 @@ def test_flatten_mode(spark):
 
 
 def test_empty_rules_identity(spark):
+    """P1 empty-rules guard: identity spans, zero hits, no Python stage
+    in the plan — and (round-5 review) a normalized (doc_id, spans)
+    schema plus NULL-spans routing, instead of the old verbatim
+    `return df` that leaked extra input columns and emitted garbage
+    rows as clean docs."""
     doc = demo_doc("id-1")
-    df = docs_to_df(spark, [doc])
+    df = docs_to_df(spark, [doc]).withColumn("extra", F.lit(1))
     out, errs = redact(df, [])
-    assert out is df  # driver-side short-circuit (P1)
     assert errs.count() == 0
+    assert out.columns == ["doc_id", "spans"]  # extra column dropped
+    got = out.collect()[0]
+    assert [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got["spans"]
+    ] == [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in doc["spans"]
+    ]
+    # still the driver-side short-circuit: no Arrow/Python stage
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInArrow" not in plan
+
+
+def test_empty_rules_routes_null_spans(spark):
+    """Round-5 review: the empty-rules pass-through emitted NULL-spans
+    garbage rows as CLEAN docs while every other path quarantines them."""
+    df = spark.createDataFrame(
+        [("good", [("text", "x", "", 200_000_720)]), ("nullrow", None)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out, errs = redact(df, [])
+    assert {r["doc_id"] for r in out.collect()} == {"good"}
+    err = {r["doc_id"]: r["error"] for r in errs.collect()}
+    assert err == {"nullrow": "ValueError: spans column is null"}
+
+
+def test_mega_split_routes_null_spans_and_zeroes_errored_hits(spark):
+    """Round-5 review, two mega-path parity holes: (1) a NULL-spans row
+    made BOTH mega filters NULL, silently dropping the doc from both
+    outputs; (2) an errored mega doc kept n_rule_hits summed from its
+    successful pages while the doc-grain path reports 0."""
+    from pdfredact_spark.fixtures import page_span
+    from pdfredact_spark.pipeline import redact_full
+
+    rot = mega_doc("rot-mega", n_spans=6000)  # > MEGA_SPAN_THRESHOLD
+    rot["spans"][0] = page_span(1, rotation=90)  # page 1 fails fast
+    nullable = (
+        "doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    docs = docs_to_df(spark, [demo_doc("ok"), rot])
+    null_row = spark.createDataFrame([("nullrow", None)], nullable)
+    full = redact_full(
+        docs.unionByName(null_row, allowMissingColumns=False),
+        [SSN_RULE],
+        mega_split=True,
+    )
+    rows = {r["doc_id"]: r for r in full.collect()}
+    assert set(rows) == {"ok", "rot-mega", "nullrow"}  # nothing dropped
+    assert rows["nullrow"]["error"] == "ValueError: spans column is null"
+    assert rows["rot-mega"]["error"] is not None
+    assert rows["rot-mega"]["n_rule_hits"] == 0  # doc-grain parity
+    assert rows["ok"]["error"] is None
+
+
+def test_mega_page_apply_quarantines_garbage(spark):
+    """Round-5 review: the per-page mega redactor caught only
+    RotationError — any other kernel exception from one garbage mega doc
+    failed its task and, after retries, the whole job. It must route
+    like the doc-grain path."""
+    import pyarrow as pa
+
+    from pdfredact_spark.pipeline import _make_page_apply
+
+    fn = _make_page_apply([SSN_RULE], flatten=False)
+    tbl = pa.table(
+        {
+            "doc_id": ["bad"],
+            "band": [1],
+            "kind": ["page"],
+            "text": ["<page>:not-a-number"],
+            "media_ref": [""],
+            "offset": [200_000_000],
+        }
+    )
+    out = fn(tbl)
+    assert out.column("kind").to_pylist() == ["__error__"]
+    assert "ValueError" in out.column("text").to_pylist()[0]
 
 
 def test_locate_regions_matches_kernel(spark):

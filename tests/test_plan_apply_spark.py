@@ -137,3 +137,47 @@ def test_malformed_plan_rows_quarantine_not_crash(spark, tmp_path):
     good_ids = {r.doc_id for r in good.collect()}
     assert "d000000000" in err_rows and "TypeError" in err_rows["d000000000"]
     assert good_ids == {"d000000001", "d000000002"}  # pass-through intact
+
+
+def test_duplicate_plans_quarantine_not_duplicate_output(spark):
+    """Round-5 review: two plan rows for one sourcePdfPath (two plan runs
+    appended into one dir) multiplied the doc through the left join —
+    the output carried the doc TWICE. Duplicates now route the doc to
+    the error output; unaffected docs still apply normally."""
+    from pyspark.sql import functions as F
+
+    from pdfredact_spark.fixtures import SSN_RULE, demo_doc
+    from pdfredact_spark.pipeline import (
+        apply_plans,
+        docs_to_df,
+        locate_regions,
+        regions_to_plans,
+    )
+
+    docs = docs_to_df(spark, [demo_doc("dup-d"), demo_doc("ok-d")])
+    plans = regions_to_plans(locate_regions(docs, [SSN_RULE]))
+    dup = plans.where(F.col("sourcePdfPath") == "dup-d")
+    good, errors = apply_plans(docs, plans.unionByName(dup))
+    out_ids = [r["doc_id"] for r in good.collect()]
+    assert sorted(out_ids) == ["ok-d"]  # dup-d not emitted (once or twice)
+    err = {r["doc_id"]: r["error"] for r in errors.collect()}
+    assert set(err) == {"dup-d"} and "2 plans" in err["dup-d"]
+
+
+def test_load_plan_rejects_non_object_region_elements(tmp_path):
+    """Round-5 review: '"regions": [null]' raised a raw AttributeError
+    instead of the serializer's clean deserialize error (the documented
+    RedactionPlanSerializer.cs:75-79 parity)."""
+    import json
+
+    import pytest
+
+    from pdfredact_spark.plan import load_plan
+
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"sourcePdfPath": "d", "regions": [None]}))
+    with pytest.raises(ValueError, match="Failed to deserialize"):
+        load_plan(str(p))
+    p.write_text(json.dumps({"sourcePdfPath": "d", "regions": [1]}))
+    with pytest.raises(ValueError, match="Failed to deserialize"):
+        load_plan(str(p))

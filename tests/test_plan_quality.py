@@ -60,6 +60,19 @@ def test_default_redact_plan_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_locate_regions_default_is_shuffle_free(spark):
+    """Round-5 review: locate_regions hash-shuffled the entire span
+    table before a purely row-wise map. Default path must inherit
+    input-split parallelism like redact_full's default — repartition
+    only on explicit request."""
+    from pdfredact_spark.pipeline import locate_regions
+
+    docs = docs_to_df(spark, corpus(8)).where(F.lit(True))
+    plan = plan_of(locate_regions(docs, [SSN_RULE]))
+    assert "Exchange" not in plan, plan
+    assert "MapInArrow" in plan
+
+
 def test_mega_split_only_shuffles_mega_slice(spark):
     docs = docs_to_df(spark, corpus(8))
     out = redact_full(docs, [SSN_RULE], mega_split=True)
