@@ -56,6 +56,7 @@ from pdfredact_spark.spanmodel import (
     WORD_GAP_MULT,
     WORD_H_MULT,
     Rule,
+    encode_offset,
     parse_page_marker,
     row_top,
 )
@@ -244,7 +245,9 @@ def _is_single_digit_token(text: str) -> bool:
     if len(text) != 1:
         return False
     ch = text[0]
-    return ch == "-" or (ch.isdigit() and ord(ch) < 128) or _is_nd(ch)
+    # char.IsDigit == Unicode Nd exactly (ASCII 0-9 are Nd, so no
+    # separate ASCII clause is needed)
+    return ch == "-" or _is_nd(ch)
 
 
 def _is_nd(ch: str) -> bool:
@@ -374,14 +377,21 @@ def _fold_1to1(s: str) -> str:
     return "".join(u if len(u := ch.upper()) == 1 else ch for ch in s)
 
 
-def find_matches(search_text: str, rule: Rule) -> list[tuple[int, int, str]]:
+def find_matches(
+    search_text: str, rule: Rule, folded_text: str | None = None
+) -> list[tuple[int, int, str]]:
     """FindMatches (PdfPigTextLocator.cs:221-260) -> [(start, end, text)].
 
     Regex: Python re.finditer ~ .NET Regex.Matches with CultureInvariant
     (+IgnoreCase when case_sensitive=False). Literal: non-overlapping
     IndexOf loop advancing by len(pattern). An empty literal pattern
     matches nothing (str.find('') succeeds at every index and the skip
-    advance is zero — without the guard the loop never terminates)."""
+    advance is zero — without the guard the loop never terminates).
+
+    ``folded_text`` lets callers share ONE _fold_1to1(search_text) across
+    a rule set (round-5 review: folding the same page text once per
+    case-insensitive literal rule was O(rules x page_chars) pure-Python
+    char work in the Arrow hot path)."""
     out: list[tuple[int, int, str]] = []
     if rule.is_regex:
         # BuildRegexOptions (:262-278): defaults = CultureInvariant
@@ -397,7 +407,10 @@ def find_matches(search_text: str, rule: Rule) -> list[tuple[int, int, str]]:
         pat = rule.pattern
         if not pat:
             return out
-        hay = search_text if rule.case_sensitive else _fold_1to1(search_text)
+        if rule.case_sensitive:
+            hay = search_text
+        else:
+            hay = folded_text if folded_text is not None else _fold_1to1(search_text)
         needle = pat if rule.case_sensitive else _fold_1to1(pat)
         idx = 0
         while True:
@@ -407,6 +420,14 @@ def find_matches(search_text: str, rule: Rule) -> list[tuple[int, int, str]]:
             out.append((idx, idx + len(pat), pat))
             idx += len(pat)
     return out
+
+
+def _shared_fold(text: str, rules: list[Rule]) -> str | None:
+    """One haystack fold shared by every case-insensitive literal rule on
+    a page (None when no rule needs it)."""
+    if any(not r.case_sensitive and not r.is_regex for r in rules):
+        return _fold_1to1(text)
+    return None
 
 
 def overlapping_units(
@@ -479,8 +500,9 @@ def locate_page(
         letters = extract_letters(texts, offsets, page.text_idx, page.height)
         tokens = tokenize_page(letters)
         text, starts, ends = build_search_text(tokens)
+        folded = _shared_fold(text, frag_rules)
         for rule in frag_rules:
-            for m_start, m_end, m_text in find_matches(text, rule):
+            for m_start, m_end, m_text in find_matches(text, rule, folded):
                 hit = [tokens[i] for i in overlapping_units(starts, ends, m_start, m_end)]
                 if hit:
                     for group in group_units_by_line(hit):
@@ -505,8 +527,9 @@ def _locate_words_general(
     regions: list[Region] = []
     words = extract_words(texts, offsets, page.text_idx, page.height)
     text, starts, ends = build_search_text(words)
+    folded = _shared_fold(text, word_rules)
     for rule in word_rules:
-        for m_start, m_end, m_text in find_matches(text, rule):
+        for m_start, m_end, m_text in find_matches(text, rule, folded):
             hit = [words[i] for i in overlapping_units(starts, ends, m_start, m_end)]
             if hit:
                 for group in group_units_by_line(hit):
@@ -604,8 +627,9 @@ def _locate_words_fast(
         return first[2], last[3]
 
     regions: list[Region] = []
+    folded = _shared_fold(search, word_rules)
     for rule in word_rules:
-        for m_start, m_end, m_text in find_matches(search, rule):
+        for m_start, m_end, m_text in find_matches(search, rule, folded):
             lo_i = bisect.bisect_right(ends, m_start)
             hi_i = bisect.bisect_left(starts, m_end)
             hits: list[Unit] = []
@@ -722,9 +746,12 @@ def redact_document_cols(
                     f"Page rotation ({r.rotation}°) is not currently supported."
                 )
     else:
+        ctx_by_number: dict[int, PageCtx] = {}
+        for p in pages:
+            ctx_by_number.setdefault(p.number, p)  # first band is primary
         out = _apply_regions_cols(
             doc_id, kinds, texts, refs, offsets, regions,
-            page_heights={p.number: p.height for p in pages},
+            page_ctx=ctx_by_number,
         )
 
     if flatten:
@@ -776,12 +803,17 @@ def _apply_regions_cols(
     refs: list,
     offsets: list,
     regions: list[Region],
-    page_heights: dict[int, float] | None = None,
+    page_ctx: dict[int, "PageCtx"] | None = None,
 ) -> tuple[list, list, list, list]:
     """Mask application core (PdfSharpMaskApplicator.cs:48-126 in span
     space): rotation fail-fast, deterministic W6 apply order (page asc,
     Y desc, X asc) -> mask sequence ids, covered-glyph removal + span
-    splicing. Columnar in/out."""
+    splicing. Columnar in/out. ``page_ctx`` maps declared page number ->
+    its PRIMARY (first-band) PageCtx, giving the no-glyph fallback the
+    page's real band and height (round-5 review: a last-wins heights
+    dict collided on multi-band numbers, and deriving the band from the
+    DECLARED number could teleport the mask to an empty band — or
+    overflow int32 for an absurd declared number)."""
     for r in regions:
         if r.rotation != 0:
             raise RotationError(
@@ -809,11 +841,13 @@ def _apply_regions_cols(
                 # the reference still draws the rect — emit the mask at its
                 # geometric position, back-computed with the ACTUAL page
                 # height (a non-US-Letter page would otherwise place the
-                # mask rows away from its region).
-                page_h = (page_heights or {}).get(page_num, DEFAULT_PAGE_H)
-                band = max(page_num, 1)
+                # mask rows away from its region) in the page's ACTUAL
+                # offset band (same no-teleport rule as flatten).
+                ctx = (page_ctx or {}).get(page_num)
+                page_h = ctx.height if ctx is not None else DEFAULT_PAGE_H
+                band = max(ctx.band if ctx is not None else 1, 1)
                 row = max(0, round((page_h - TOP_MARGIN - (r.y + r.height)) / ROW_PITCH))
-                min_off = band * PAGE_BASE + row * ROW_BASE + int(round(DECI * r.x))
+                min_off = encode_offset(band, row, r.x)
             mask_refs.append(f"mask:{doc_id}:{page_num}:{seq}")
             mask_offs.append(int(min_off))
 
@@ -913,18 +947,22 @@ def apply_plan_cols(
         if not matched:
             continue  # P5: silently skip out-of-range pages
         chars = []
-        text_idx = [i for p in matched for i in p.text_idx]
-        page_height = matched[0].height
-        for ch, left, right, bottom, top, si, ci in extract_letters(
-            texts, offsets, text_idx, page_height
-        ):
-            if (
-                right > r.x
-                and left < r.x + r.width
-                and top > r.y
-                and bottom < r.y + r.height
+        # Per-band glyph extraction with EACH band's own declared height
+        # (round-5 review: one extract_letters over the concatenated
+        # text_idx used matched[0].height for every band, so a band with
+        # a different declared height got glyph tops shifted by the
+        # height delta and the region covered the wrong text).
+        for p in matched:
+            for ch, left, right, bottom, top, si, ci in extract_letters(
+                texts, offsets, p.text_idx, p.height
             ):
-                chars.append((si, ci, ci + 1))
+                if (
+                    right > r.x
+                    and left < r.x + r.width
+                    and top > r.y
+                    and bottom < r.y + r.height
+                ):
+                    chars.append((si, ci, ci + 1))
         applied.append(
             Region(
                 page=r.page, x=r.x, y=r.y, width=r.width, height=r.height,
@@ -933,9 +971,12 @@ def apply_plan_cols(
             )
         )
 
+    ctx_by_number: dict[int, PageCtx] = {}
+    for p in all_pages:
+        ctx_by_number.setdefault(p.number, p)  # first band is primary
     out = _apply_regions_cols(
         doc_id, kinds, texts, refs, offsets, applied,
-        page_heights={p.number: p.height for p in all_pages},
+        page_ctx=ctx_by_number,
     )
     k, t, rf, o = _sort_cols(*out)
     return k, t, rf, o, len(applied)

@@ -339,3 +339,68 @@ def test_flatten_band_follows_offsets_not_declared_number():
     assert len(media) == 1
     assert media[0]["offset"] // PAGE_BASE == 1  # stays in its real band
     assert media[0]["media_ref"] == "flat:fb-1:3"  # ref keeps declared number
+
+
+def _raw_span(kind, text, offset, ref=""):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": offset}
+
+
+def test_multiband_declared_height_fused_apply_parity():
+    """Round-5 review: apply_plan extracted glyphs for ALL bands sharing
+    a declared page number with the FIRST band's height, so a band
+    declaring a different height got glyph tops shifted by the height
+    delta and the decoupled apply covered different text than the fused
+    path on the identical doc + plan. Fused == apply must hold on the
+    multi-band malformed doc."""
+    from pdfredact_spark.kernel import apply_plan, redact_document
+    from pdfredact_spark.model import Rule
+    from pdfredact_spark.spanmodel import PAGE_BASE, ROW_BASE, page_marker_text
+
+    spans = [
+        # band 0: implicit page 1, default height 792
+        _raw_span("text", "zero SECRET here", 2 * ROW_BASE + 1000),
+        # band 1: a marker also declaring page 1 but height 500
+        _raw_span("page", page_marker_text(1, 0, 612, 500), PAGE_BASE),
+        _raw_span("text", "deep SECRET down", PAGE_BASE + 3 * ROW_BASE + 1000),
+    ]
+    rule = Rule(pattern="SECRET")
+    fused, regions, _ = redact_document("d", spans, [rule])
+    assert len(regions) == 2  # one hit per band
+    applied, n = apply_plan("d", spans, regions)
+    assert n == 2
+    key = lambda s: (s["kind"], s["text"], s["media_ref"], s["offset"])
+    assert [key(s) for s in fused] == [key(s) for s in applied]
+    # and the matched text is actually masked in the decoupled output
+    assert all("SECRET" not in s["text"] for s in applied)
+
+
+def test_apply_noglyph_mask_stays_in_actual_band():
+    """Round-5 review: the no-glyph mask fallback derived the offset band
+    from the region's DECLARED page number — teleporting the mask into
+    an empty band (the flatten path documents the no-teleport rule) and
+    overflowing int32 for an absurd declared number. The mask must land
+    in the declaring marker's ACTUAL band."""
+    from pdfredact_spark.kernel import Region, apply_plan
+    from pdfredact_spark.spanmodel import PAGE_BASE, ROW_BASE, page_marker_text
+
+    def region(page):
+        return Region(page=page, x=400.0, y=100.0, width=50.0, height=10.0,
+                      matched_text=None, rule_pattern=None, rotation=0)
+
+    # marker in band 1 declares page number 5; region covers no glyphs
+    spans = [
+        _raw_span("page", page_marker_text(5, 0), PAGE_BASE),
+        _raw_span("text", "hello", PAGE_BASE + 2 * ROW_BASE + 1000),
+    ]
+    out, n = apply_plan("d", spans, [region(5)])
+    assert n == 1
+    mask = next(s for s in out if s["kind"] == "mask")
+    assert PAGE_BASE <= mask["offset"] < 2 * PAGE_BASE  # band 1, not 5
+
+    # absurd declared number must not overflow the int32 offset column
+    spans2 = [_raw_span("page", page_marker_text(999, 0), PAGE_BASE)]
+    out2, n2 = apply_plan("d", spans2, [region(999)])
+    assert n2 == 1
+    mask2 = next(s for s in out2 if s["kind"] == "mask")
+    assert mask2["offset"] < 2**31
+    assert PAGE_BASE <= mask2["offset"] < 2 * PAGE_BASE
