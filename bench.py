@@ -96,8 +96,8 @@ def corpus_to_parquet(spark, n_docs: int, path: str) -> None:
 
 def _warm_python_workers(spark) -> None:
     """Spawn a python worker on every core before timing (worker startup
-    otherwise lands inside the first measured job)."""
-    import pandas as pd
+    otherwise lands inside the first measured job; pandas loads inside
+    the workers via the mapInPandas machinery itself)."""
 
     def ident(it):
         yield from it

@@ -32,7 +32,7 @@ def get_spark(
         if master and master.startswith("local["):
             # local[N] or local[N,maxFailures] or local[*]
             inner = master[6:-1].split(",")[0]
-            cores = os.cpu_count() or 8 if inner == "*" else int(inner)
+            cores = (os.cpu_count() or 8) if inner == "*" else int(inner)
             shuffle_partitions = max(8, 2 * cores)
         else:
             shuffle_partitions = max(8, 2 * (os.cpu_count() or 8))

@@ -205,6 +205,15 @@ def compact_ledger(
     AFTER the flip, and a crash in between just lets the next compaction
     re-absorb rows that the per-fp groupBy folds away. Duplicate fps
     visible during the in-between window are harmless to an anti-join.
+
+    SINGLE-WRITER CONTRACT (round-5 review): call only while no
+    micro-batch is writing deltas — the shipped availableNow shape
+    compacts after the drain. A continuous deployment must pause the
+    trigger (or hold an external lock) around compaction: a delta dir
+    being written concurrently could be listed as empty and then
+    deleted after the stream finishes it, losing its fingerprints. As
+    defense in depth, non-folded dirs are re-checked for parquet
+    immediately before deletion and skipped if content appeared.
     Returns the new meta, or None if there is nothing to compact."""
     join = storage.join
     ledger_dir = join(out_dir, "ledger")
@@ -215,8 +224,19 @@ def compact_ledger(
     if not delta_dirs:
         # nothing new to fold; empty (all-duplicate-batch) deltas are
         # trivially absorbed — remove them so they never poison a read
+        # (re-check emptiness right before deleting: defense in depth
+        # against a concurrent writer — see the single-writer contract)
         for d in all_delta_dirs:
-            storage.delete_tree(d)
+            if not storage.has_parquet(d):
+                storage.delete_tree(d)
+        # a crash between delta deletion and old-gen cleanup leaves a
+        # stale full-ledger generation behind; reclaim it here too
+        # (round-5 review: an idle/all-duplicate stream otherwise kept
+        # the doubled ledger copy indefinitely)
+        if meta is not None:
+            for g in storage.list_dirs(storage.join(comp_root, "gen=*")):
+                if not g.rstrip("/").endswith(f"gen={meta['gen']}"):
+                    storage.delete_tree(g)
         return meta
     parts = []
     if meta is not None:
@@ -246,8 +266,14 @@ def compact_ledger(
     finally:
         merged.unpersist()
     _write_ledger_meta(out_dir, {"gen": gen, "prefix_len": k, "n_rows": total}, storage)
+    folded = set(delta_dirs)
     for d in all_delta_dirs:
-        storage.delete_tree(d)
+        # folded dirs are absorbed — delete unconditionally; dirs that
+        # looked empty at listing time are re-checked so a concurrent
+        # writer's late-arriving content is never destroyed (the
+        # single-writer contract's defense in depth)
+        if d in folded or not storage.has_parquet(d):
+            storage.delete_tree(d)
     for g in storage.list_dirs(join(comp_root, "gen=*")):
         if not g.rstrip("/").endswith(f"gen={gen}"):
             storage.delete_tree(g)
@@ -371,8 +397,6 @@ def dedup_stream(
             .withColumn("pfx", F.concat(F.lit("x"), F.substring("fp", 1, 1)))
         )
         m: dict = {"batch": int(batch_id)}
-        if metrics is not None:
-            metrics.append(m)
         # Persist the deduped batch BEFORE any prefix collect: the
         # collects below and the final writes all reuse the cached
         # md5+window result instead of recomputing it per job.
@@ -456,6 +480,11 @@ def dedup_stream(
                 out.unpersist()
         finally:
             fresh.unpersist()
+        # append only after the batch's writes committed: a failed-and-
+        # retried micro-batch would otherwise leave a partial duplicate
+        # entry for the same batch id (round-5 review)
+        if metrics is not None:
+            metrics.append(m)
         n_batches["n"] += 1
 
     q = (
