@@ -287,6 +287,13 @@ def corpus_doc(i: int, lines_mult: int = 1) -> dict:
     perm = _DIGIT_PERMS[i % 7]
     p1 = [t.translate(perm) for t in PAGE1_LINES] * lines_mult
     p2 = [t.translate(perm) for t in PAGE2_LINES] * lines_mult
+    # row-overflow guard (round-5 review, the mega_doc precedent): row
+    # 2000 of page 1 would ENCODE as page 2 row 0 (PAGE_BASE//ROW_BASE
+    # rows per page) and silently collide with real page-2 spans
+    if len(p1) + 1 >= 2000 or len(p2) >= 2000:
+        raise ValueError(
+            f"lines_mult={lines_mult} overflows the 2000-row page encoding"
+        )
     spans = [page_span(1)]
     spans += [text_span(1, r, DEMO_X, t) for r, t in enumerate(p1)]
     spans.append(
@@ -300,10 +307,11 @@ def corpus_doc(i: int, lines_mult: int = 1) -> dict:
 def mega_doc(doc_id: str, n_spans: int = 20_000) -> dict:
     """Skew probe (fx-13 analog): one document with up to ~97k text spans,
     laid out 5 spans per row x 2000 rows per page across up to 10 pages.
-    The int32 offset encoding caps page 10 at row 1473 (10*PAGE_BASE +
-    1474*ROW_BASE + max x-component exceeds 2^31-1), so the true doc
-    capacity is 9*2000*5 + 1474*5 = 97,370 spans — NOT the 100k the
-    page-count bound alone would suggest."""
+    The int32 offset encoding caps page 10 at row 1474 (10*PAGE_BASE +
+    1475*ROW_BASE + max x-component exceeds 2^31-1; row 1474's max
+    offset is 2,147,477,000 < 2^31-1 — round-5 review fixed the
+    off-by-one), so the true doc capacity is 9*2000*5 + 1475*5 =
+    97,375 spans — NOT the 100k the page-count bound alone suggests."""
     spans: list[dict] = []
     per_row = 5
     rows_per_page = PAGE_BASE // ROW_BASE  # 2000
@@ -313,7 +321,7 @@ def mega_doc(doc_id: str, n_spans: int = 20_000) -> dict:
         page += 1
         if page > 10:
             raise ValueError("int32 offset encoding caps a doc at 10 pages")
-        page_rows = rows_per_page if page < 10 else 1474  # int32 guard
+        page_rows = rows_per_page if page < 10 else 1475  # int32 guard
         spans.append(page_span(page))
         for row in range(page_rows):
             for j in range(per_row):

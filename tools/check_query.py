@@ -11,11 +11,10 @@ import os
 import sys
 
 import duckdb
-import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.oracle_sweep import TABLES, canon  # noqa: E402
+from tools.oracle_sweep import TABLES, check_one  # noqa: E402
 
 
 def main() -> int:
@@ -26,6 +25,18 @@ def main() -> int:
     args = sys.argv[1:]
     sf = args.pop(0) if args and args[0].startswith("sf") else "sf0.01"
     d = f"/root/testdata/{sf}"
+    known = sorted(entry.queries())
+    if not args:
+        # round-5 review: name-less invocation silently exited 0 having
+        # checked nothing — a green signal with zero queries verified
+        print("usage: check_query.py [sfX] name [name2 ...]; names:",
+              ", ".join(known), file=sys.stderr)
+        return 2
+    unknown = [n for n in args if n not in set(known)]
+    if unknown:
+        print(f"unknown queries {unknown}; valid names: {', '.join(known)}",
+              file=sys.stderr)
+        return 2
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -41,12 +52,8 @@ def main() -> int:
     qs, oracles = entry.queries(), entry.oracle_sql()
     fails = []
     for name in args:
-        sdf = canon(qs[name](spark, d).toPandas())
-        odf = canon(con.execute(oracles[name]).df())
-        hs = int(pd.util.hash_pandas_object(sdf, index=False).sum())
-        ho = int(pd.util.hash_pandas_object(odf, index=False).sum())
-        ok = len(sdf) == len(odf) and list(sdf.columns) == list(odf.columns) and hs == ho
-        print(f"{name}: {'OK' if ok else 'FAIL'} rows={len(sdf)}/{len(odf)} hash={'=' if hs == ho else '!='}")
+        ok, n_s, n_o, h_eq = check_one(spark, con, qs, oracles, name, d)
+        print(f"{name}: {'OK' if ok else 'FAIL'} rows={n_s}/{n_o} hash={'=' if h_eq else '!='}")
         if not ok:
             fails.append(name)
     spark.stop()

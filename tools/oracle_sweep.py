@@ -38,6 +38,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def check_one(spark, con, qs, oracles, name: str, sf_dir: str) -> tuple[bool, int, int, bool]:
+    """Shared Spark-vs-DuckDB comparator (also used by check_query.py so
+    the fleet sweep and the single-query checker cannot drift): returns
+    (ok, spark_rows, oracle_rows, hash_eq) under the driver's contract —
+    sorted-column canonicalization, row count, column names, value hash."""
+    sdf = canon(qs[name](spark, sf_dir).toPandas())
+    odf = canon(con.execute(oracles[name]).df())
+    hs = int(pd.util.hash_pandas_object(sdf, index=False).sum())
+    ho = int(pd.util.hash_pandas_object(odf, index=False).sum())
+    ok = len(sdf) == len(odf) and list(sdf.columns) == list(odf.columns) and hs == ho
+    return ok, len(sdf), len(odf), hs == ho
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -64,17 +77,9 @@ def main() -> int:
     results: dict[str, dict] = {}
     for name in sorted(qs):
         try:
-            sdf = canon(qs[name](spark, d).toPandas())
-            odf = canon(con.execute(oracles[name]).df())
-            hs = int(pd.util.hash_pandas_object(sdf, index=False).sum())
-            ho = int(pd.util.hash_pandas_object(odf, index=False).sum())
-            ok = (
-                len(sdf) == len(odf)
-                and list(sdf.columns) == list(odf.columns)
-                and hs == ho
-            )
-            results[name] = {"ok": bool(ok), "rows": len(sdf), "oracle_rows": len(odf)}
-            print(f"{name}: {'OK' if ok else f'FAIL rows={len(sdf)}/{len(odf)}'}", flush=True)
+            ok, n_s, n_o, _ = check_one(spark, con, qs, oracles, name, d)
+            results[name] = {"ok": bool(ok), "rows": n_s, "oracle_rows": n_o}
+            print(f"{name}: {'OK' if ok else f'FAIL rows={n_s}/{n_o}'}", flush=True)
             if not ok:
                 fails.append(name)
         except Exception as e:  # noqa: BLE001
@@ -89,16 +94,23 @@ def main() -> int:
 
         blob = {}
         if os.path.isfile(json_path):
-            with open(json_path) as fh:
-                blob = json.load(fh)
+            # tolerate a truncated artifact from an interrupted writer:
+            # start a fresh blob rather than crashing after a full sweep
+            try:
+                with open(json_path) as fh:
+                    blob = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                blob = {}
         blob[f"{sf} cores={cores} shuf={shuf}"] = {
             "n_green": len(qs) - len(fails),
             "n_total": len(qs),
             "fails": fails,
             "results": results,
         }
-        with open(json_path, "w") as fh:
+        tmp = json_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(blob, fh, indent=1, sort_keys=True)
+        os.replace(tmp, json_path)  # atomic: never a truncated artifact
     spark.stop()
     return 1 if fails else 0
 

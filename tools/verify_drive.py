@@ -18,9 +18,22 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+if len(sys.argv) != 2:
+    print("usage: verify_drive.py <scratch_out_dir>", file=sys.stderr)
+    sys.exit(2)
 out_root = sys.argv[1]
+# the scratch dir is recursively DELETED below: refuse an argument that
+# points at an existing non-scratch directory (round-5 review — a typo'd
+# data path would be rmtree'd before any validation)
+if os.path.isdir(out_root) and not os.path.isfile(
+    os.path.join(out_root, ".verify-drive-scratch")
+):
+    print(f"refusing to delete existing non-scratch dir {out_root}",
+          file=sys.stderr)
+    sys.exit(2)
 shutil.rmtree(out_root, ignore_errors=True)
 os.makedirs(out_root)
+open(os.path.join(out_root, ".verify-drive-scratch"), "w").close()
 
 spark = (
     SparkSession.builder.appName("verify-drive")
@@ -182,8 +195,11 @@ for wv in dd_waves:
         [(i, t, "en", "s", len(t)) for i, t in wv], dd_schema
     ).coalesce(1).write.mode("append").parquet(dd_in)
     wave_m: list = []
-    assert dedup_stream(spark, dd_in, dd_out, compact_every=1,
-                        target_rows_per_prefix=4, metrics=wave_m) >= 1
+    # system-under-test call OUTSIDE the assert: with PYTHONOPTIMIZE the
+    # assert is stripped and flow 7 would silently never run
+    n_dd = dedup_stream(spark, dd_in, dd_out, compact_every=1,
+                        target_rows_per_prefix=4, metrics=wave_m)
+    assert n_dd >= 1
     dd_metrics.append(wave_m)
 dd_got = {r["text"]: r["doc_id"]
           for r in spark.read.parquet(dd_out + "/data").collect()}
