@@ -204,12 +204,24 @@ def _write_split(full, output: str, error_output: str | None,
     else:
         full.where(F.col("error").isNull()).select("doc_id", "spans") \
             .write.mode("overwrite").parquet(output)
-        # error count = input docs - emitted docs (avoids recomputing the
-        # Python stage just to count the error side of the same lineage)
-        n = docs.count() - spark.read.parquet(output).count()
-        if n:
-            print(f"WARNING: {n} document(s) skipped (rotation fail-fast); "
-                  "pass --error-output to capture them")
+        _warn_skipped(docs, spark, output)
+
+
+def _warn_skipped(docs, spark, written_path: str) -> None:
+    """Error count = input docs - emitted docs. Neither side re-runs the
+    Python redaction stage: the output count is a parquet-footer scan,
+    and docs.count() is a zero-column scan of the input (footer row
+    counts for file sources — cheap relative to the job; for a
+    non-file-source docs a caller who cares passes --error-output and
+    never reaches this path). The error channel carries rotation
+    fail-fasts, malformed-doc exceptions, NULL-spans rows, and
+    duplicate-plan quarantines alike (ADVICE r5 — the old message
+    attributed everything to rotation)."""
+    n = docs.count() - spark.read.parquet(written_path).count()
+    if n:
+        print(f"WARNING: {n} document(s) quarantined "
+              "(rotation/malformed/duplicate-plan); "
+              "pass --error-output to capture them")
 
 
 def _report_errors(errors, error_output: str | None,
@@ -218,16 +230,12 @@ def _report_errors(errors, error_output: str | None,
         errors.write.mode("overwrite").parquet(error_output)
         print(f"Errored documents routed to: {error_output}")
     elif spark is not None and docs is not None and written_path:
-        # error count = input docs - emitted docs (avoids recomputing the
-        # Python stage just to count the error side of the same lineage)
-        n = docs.count() - spark.read.parquet(written_path).count()
-        if n:
-            print(f"WARNING: {n} document(s) skipped (rotation fail-fast); "
-                  "pass --error-output to capture them")
+        _warn_skipped(docs, spark, written_path)
     else:
         n = errors.count()
         if n:
-            print(f"WARNING: {n} document(s) skipped (rotation fail-fast); "
+            print(f"WARNING: {n} document(s) quarantined "
+                  "(rotation/malformed/duplicate-plan); "
                   "pass --error-output to capture them")
 
 

@@ -69,7 +69,10 @@ def _config_fingerprint(rules: list[Rule], flatten: bool, n_buckets: int) -> str
     so resume can refuse to mix batches redacted under different
     configs (round-5 review: the n_buckets guard existed, the rules/
     flatten axis did not — a killed job resumed with a different rules
-    file silently produced a mixed corpus)."""
+    file silently produced a mixed corpus). Rule.description is
+    deliberately EXCLUDED (ADVICE r5): it never reaches the kernel, so
+    a cosmetic description edit in the rules file must not hard-fail an
+    otherwise-valid resume."""
     import hashlib
 
     payload = json.dumps(
@@ -79,7 +82,6 @@ def _config_fingerprint(rules: list[Rule], flatten: bool, n_buckets: int) -> str
                     r.pattern,
                     r.is_regex,
                     r.case_sensitive,
-                    r.description,
                     r.fragment_aware,
                     r.regex_flags,
                 ]

@@ -539,8 +539,15 @@ def _sessionize_chunk(
     either merges into segment 0 (extending start backwards, end
     forwards) or closes ahead of every batch session. Sequential Python
     touches only that O(1) boundary merge. Float discipline:
-    (ns // 1000) / 1e6 reproduces pd.Timestamp.timestamp() bitwise
-    (microsecond floor), so emitted doubles are unchanged vs the loop.
+    (ns // 1000) / 1e6 reproduces pd.Timestamp.timestamp() bitwise FOR
+    MICROSECOND-ALIGNED input — which Spark timestamps always are
+    (microsecond precision end-to-end), the precondition this operator
+    runs under. A hypothetical nanosecond-aligned source would diverge:
+    this path FLOORS to the microsecond where .timestamp() rounds to 6
+    decimals (ADVICE r5) — the floor is the pinned, intended behavior
+    (tests/test_streaming.py::test_sessionize_chunk_floors_sub_microsecond),
+    chosen so an epoch double never points later than the event it
+    represents.
     """
     import numpy as np
 

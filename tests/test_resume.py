@@ -183,6 +183,13 @@ def test_resume_rejects_rules_flatten_drift(spark, tmp_path):
         run_resumable(spark, docs, out, [SSN_RULE], n_buckets=8,
                       buckets_per_batch=4, flatten=True)
 
+    # ADVICE r5: Rule.description never reaches the kernel, so a cosmetic
+    # description edit in the rules file must NOT hard-fail resume
+    import dataclasses
+
+    relabeled = dataclasses.replace(SSN_RULE, description="relabeled only")
+    run_resumable(spark, docs, out, [relabeled], n_buckets=8, buckets_per_batch=4)
+
 
 def test_sample_frame_indices_rejects_empty_clip():
     """Round-5 review: n_frames=0 took the same silent vanishing-video

@@ -201,6 +201,35 @@ def test_sessionize_chunk_matches_loop_reference():
             assert (v // 1000) / 1e6 == pd.Timestamp(v).timestamp(), v
 
 
+def test_sessionize_chunk_floors_sub_microsecond():
+    """ADVICE r5: the property test above only generates microsecond-
+    aligned nanoseconds (int(...)*1000), so the conversion's behavior on
+    sub-microsecond input was unpinned. Spark timestamps are microsecond
+    precision (the operator's documented precondition), but pin the
+    INTENDED behavior for a hypothetical ns-aligned source anyway: the
+    chunk path FLOORS to the microsecond — an emitted epoch double never
+    points later than its event — where pd.Timestamp.timestamp() would
+    round-half-up the 999ns tail."""
+    import numpy as np
+    import pandas as pd
+
+    from pdfredact_spark.streaming import _sessionize_chunk
+
+    base_ns = 1_700_000_000_000_000_000
+    ts_ns = [base_ns + 999, base_ns + 10_000_500]  # 999ns and .5us tails
+    starts, ends, counts, state = _sessionize_chunk(
+        [np.array(ts_ns, dtype="int64")], None, 1800.0
+    )
+    # floor: both sub-microsecond tails truncate toward zero
+    assert state == (base_ns / 1e9, (base_ns + 10_000_000) / 1e9, 2)
+    assert starts.size == 0  # single open session, nothing closed
+    # and the documented divergence vs .timestamp() rounding is real for
+    # at least one of the tails (so the docstring's caveat stays honest)
+    assert any(
+        (v // 1000) / 1e6 != pd.Timestamp(v).timestamp() for v in ts_ns
+    )
+
+
 def test_resumable_all_error_corpus_returns_empty(spark, tmp_path):
     """Round-4 review: when every doc is quarantined (or input is
     empty), partitionBy writes only _SUCCESS markers; the final read
