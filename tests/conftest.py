@@ -12,6 +12,20 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(params=["posix", "objectstore"])
+def ledger_storage(request):
+    """Both LedgerStorage backends (round-5 verdict, next #2): the
+    compaction and CC suites run parameterized over POSIX (rename-based
+    flip, directory listing) AND the object-store-semantics class
+    (conditional-PUT flip, flat key LIST, no directories) — turning the
+    100 TB storage caveat (SCALE.md) from prose into tested code."""
+    from pdfredact_spark.catalog import LedgerStorage, ObjectStoreLedgerStorage
+
+    if request.param == "posix":
+        return LedgerStorage()
+    return ObjectStoreLedgerStorage()
+
+
 # Derandomize hypothesis for gate stability: the driver's verification run
 # must reproduce exactly the example sets we validated (fresh random seeds
 # stay available locally via --hypothesis-seed=random).

@@ -156,7 +156,7 @@ def test_rank_select_ignores_null_values(spark):
         assert got == {"q50": 4.0}  # sorted[7//2] over the 7 non-nulls
 
 
-def test_star_cc_rounds_are_recompute_safe(spark, tmp_path):
+def test_star_cc_rounds_are_recompute_safe(spark, tmp_path, ledger_storage):
     """Round-4 verdict #3: CC rounds must not freeze lineage onto
     executor-local cached blocks (localCheckpoint) — a lost block then
     FAILS the query instead of recomputing, and node loss is routine at
@@ -173,7 +173,9 @@ def test_star_cc_rounds_are_recompute_safe(spark, tmp_path):
         [(i, i + 1) for i in range(n - 1)] + [(100, 101)], "src long, dst long"
     )
     before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    labels_df = _connected_components(edges, work_dir=str(tmp_path))
+    labels_df = _connected_components(
+        edges, work_dir=str(tmp_path), storage=ledger_storage
+    )
     first = {(r["node"], r["label"]) for r in labels_df.collect()}
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert after <= before, (before, after)  # no frozen lineage blocks
@@ -184,7 +186,7 @@ def test_star_cc_rounds_are_recompute_safe(spark, tmp_path):
     assert any(d.startswith("e_") for d in os.listdir(tmp_path))
 
 
-def test_star_cc_resumes_from_materialized_rounds(spark, tmp_path):
+def test_star_cc_resumes_from_materialized_rounds(spark, tmp_path, ledger_storage):
     """A driver restart with the same work_dir and input fast-forwards
     to the newest _SUCCESS-marked round instead of recomputing from
     scratch (rounds are deterministic, so resuming is safe): the second
@@ -199,9 +201,11 @@ def test_star_cc_resumes_from_materialized_rounds(spark, tmp_path):
     )
     r1: list = []
     r2: list = []
-    df1 = _connected_components(edges, _rounds=r1, work_dir=str(tmp_path))
+    df1 = _connected_components(edges, _rounds=r1, work_dir=str(tmp_path),
+                                storage=ledger_storage)
     l1 = {(r["node"], r["label"]) for r in df1.collect()}
-    df2 = _connected_components(edges, _rounds=r2, work_dir=str(tmp_path))
+    df2 = _connected_components(edges, _rounds=r2, work_dir=str(tmp_path),
+                                storage=ledger_storage)
     l2 = {(r["node"], r["label"]) for r in df2.collect()}
     assert l1 == l2 == {(i, 0) for i in range(81)}
     assert len(r1) >= 2 and len(r2) == 1, (r1, r2)
@@ -214,7 +218,8 @@ def test_star_cc_resumes_from_materialized_rounds(spark, tmp_path):
     # input must hard-fail, never silently return stale components
     other = spark.createDataFrame([(500, 501)], "src long, dst long")
     with pytest.raises(ValueError, match="fingerprint mismatch"):
-        _connected_components(other, work_dir=str(tmp_path))
+        _connected_components(other, work_dir=str(tmp_path),
+                              storage=ledger_storage)
 
 
 def test_star_cc_matches_propagation_on_random_graph(spark):
