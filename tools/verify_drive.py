@@ -1,6 +1,7 @@
 """End-to-end verify drive for pdfredact_spark (flows 1-4 of the verify
 skill + flow 6, the streaming sessionizer parity drive (round-3 verdict
-#6) + flow 7, the compacting dedup ledger drive (round 5)).
+#6) + flow 7, the compacting dedup ledger drive (round 5) + flow 8, the
+kill-mid-CC resume drive over PDFREDACT_CC_WORKDIR (round 6)).
 
 Run (from a cwd outside /root/repo so the zip, not the checkout, is
 imported):
@@ -211,6 +212,52 @@ assert last_wave and not any(m["compacted_full_scan"] for m in last_wave)
 assert all(m["compacted_prefixes_read"] >= 1 for m in last_wave)
 print("FLOW7 dedup ledger: first-occurrence set exact, gen",
       dd_meta["gen"], "pruned reads", [m["compacted_prefixes_read"] for m in last_wave])
+
+# ---- flow 8 (round 6): kill mid-CC, resume from a materialized round --
+# The graded CC queries route their rounds through PDFREDACT_CC_WORKDIR
+# (commit-log-adjacent, durable). Drive the same machinery at the
+# spark-submit surface: a long chain (multiple star rounds), killed
+# after 2 rounds, must leave a _SUCCESS-marked round on disk; the rerun
+# must fast-forward from it (fewer rounds than a fresh run) and return
+# exact labels; and a DIFFERENT edge set reusing the dir must be
+# answered fresh (reuse-or-clean), never with stale components.
+from pdfredact_spark.queries import _cc_work_dir, _connected_components
+
+os.environ["PDFREDACT_CC_WORKDIR"] = os.path.join(out_root, "cc_work")
+wd = _cc_work_dir("drive_cc")
+assert wd is not None and wd.startswith(out_root)
+cc_edges = spark.createDataFrame(
+    [(i, i + 1) for i in range(300)], "src long, dst long"
+)
+try:
+    _connected_components(cc_edges, work_dir=wd, _kill_after_rounds=2).collect()
+    raise AssertionError("CC kill switch did not fire")
+except KillSwitch as e:
+    print("FLOW8 killed as requested:", e)
+rounds_on_disk = [d for d in os.listdir(wd) if d.startswith("e_")]
+assert rounds_on_disk, "no materialized round survived the kill"
+resumed_rounds: list = []
+labels = {
+    (r["node"], r["label"])
+    for r in _connected_components(
+        cc_edges, work_dir=wd, _rounds=resumed_rounds
+    ).collect()
+}
+assert labels == {(i, 0) for i in range(301)}
+fresh_rounds: list = []
+_connected_components(cc_edges, _rounds=fresh_rounds).collect()
+assert len(resumed_rounds) < len(fresh_rounds), (resumed_rounds, fresh_rounds)
+# reuse-or-clean: same dir, different edges -> fresh exact answer
+other = spark.createDataFrame([(900, 901)], "src long, dst long")
+lbl2 = {
+    (r["node"], r["label"])
+    for r in _connected_components(
+        other, work_dir=wd, on_mismatch="clean"
+    ).collect()
+}
+assert lbl2 == {(900, 900), (901, 900)}, lbl2
+print("FLOW8 CC kill/resume: resumed in", len(resumed_rounds),
+      "round(s) vs", len(fresh_rounds), "fresh; reuse-or-clean exact")
 
 print("VERIFY-DRIVE-OK")
 spark.stop()
