@@ -601,6 +601,7 @@ def sessionize_stream(
     input_path: str,
     out_dir: str,
     gap_sec: float = 1800.0,
+    timeout_sec: float | None = None,
 ) -> None:
     """Stateful streaming sessionizer (applyInPandasWithState): emits a
     session row whenever a per-user gap > gap_sec closes one. State (open
@@ -633,9 +634,25 @@ def sessionize_stream(
 
     The trailing open session per user stays in the state store BY
     DESIGN (the next wave may extend it) — read it with open_sessions().
-    A continuous deployment bounds state with a GroupStateTimeout
-    eviction; under availableNow each drain is finite so the bound is
-    #distinct users.
+    A continuous deployment bounds state with the `timeout_sec` knob
+    (round-5 verdict next #4): GroupStateTimeout.EventTimeTimeout plus
+    a gap_sec watermark on ts. A user whose open session has seen no
+    event by the time the WATERMARK passes last_ts + timeout_sec has
+    that session EMITTED AS FINAL and the state evicted — total state
+    is bounded by the users active within the timeout horizon, not all
+    users ever seen. EVENT time, not processing time, deliberately:
+    eviction is then deterministic in the data (replays and tests
+    agree), and ProcessingTimeTimeout is a trap under availableNow —
+    Spark keeps scheduling micro-batches while wall-clock timeouts are
+    pending, spinning the drain loop (measured: 500+ empty batches).
+    Two semantic trades, both watermark-standard: an evicted user's
+    later event starts a NEW session (the emitted one is final), and
+    the watermark drops events later than gap_sec behind the stream's
+    max ts before they reach the operator (the merge-or-drop policy
+    above still governs lateness within the watermark). With
+    timeout_sec=None (default, the availableNow shape) no watermark is
+    applied, state is bounded by #distinct users per drain, and
+    open_sessions() is the flush path.
     """
     import numpy as np
     import pandas as pd
@@ -646,9 +663,40 @@ def sessionize_stream(
         .parquet(input_path)
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     )
+    if timeout_sec is not None:
+        # The watermark exists to drive event-time timeouts; gap_sec
+        # delay keeps the pre-operator late-drop no stricter than the
+        # operator's own too-late policy. Watermarks require TIMESTAMP
+        # (LTZ), and the epoch must be TZ-STABLE (the operator treats
+        # the NTZ wall clock as UTC — timeout timestamps are computed
+        # from those epochs): convert_timezone('UTC' -> session tz)
+        # then cast yields an instant whose epoch equals the NTZ wall
+        # clock read as UTC, in ANY session timezone. ts itself stays
+        # NTZ so the fn's arrow path is identical to the default mode.
+        stream = stream.withColumn(
+            "ts_wm",
+            F.expr(
+                "cast(convert_timezone('UTC', current_timezone(), ts) "
+                "as timestamp)"
+            ),
+        ).withWatermark("ts_wm", f"{int(gap_sec)} seconds")
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
+        if state.hasTimedOut:
+            # idle eviction: the open session is final — emit it, drop
+            # the state. pdfs is empty for a timed-out key by contract.
+            start_ts, last_ts, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": np.array([user_id], dtype="int64"),
+                    "session_start": np.array([start_ts], dtype="float64"),
+                    "session_end": np.array([last_ts], dtype="float64"),
+                    "n_events": np.array([n], dtype="int64"),
+                }
+            )
+            return
         carried = tuple(state.get) if state.exists else None
         chunks = [
             pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
@@ -659,6 +707,15 @@ def sessionize_stream(
         )
         if new_state is not None:
             state.update(new_state)
+            if timeout_sec is not None:
+                # re-armed on every update; fires when the WATERMARK
+                # passes last_ts + timeout. An already-idle user (last
+                # so far behind that last + timeout <= watermark) gets
+                # watermark + 1ms — Spark rejects timestamps at or
+                # before the current watermark — i.e. evict next batch.
+                to_ms = int((new_state[1] + timeout_sec) * 1000)
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(to_ms, wm_ms + 1))
         if starts.size:
             yield pd.DataFrame(
                 {
@@ -669,11 +726,16 @@ def sessionize_stream(
                 }
             )
 
+    timeout_mode = (
+        GroupStateTimeout.NoTimeout
+        if timeout_sec is None
+        else GroupStateTimeout.EventTimeTimeout
+    )
     q = (
         stream.groupBy("user_id")
         .applyInPandasWithState(
-            fn, _SESSION_OUT, _SESSION_STATE, "append", GroupStateTimeout.NoTimeout
-        )  # see open_sessions() for the flush path; timeout = continuous-mode knob
+            fn, _SESSION_OUT, _SESSION_STATE, "append", timeout_mode
+        )  # see open_sessions() for the flush path; timeout_sec = eviction
         .writeStream.format("parquet")
         .option("path", os.path.join(out_dir, "sessions"))
         .option("checkpointLocation", os.path.join(out_dir, "_session_checkpoint"))
