@@ -64,8 +64,17 @@ BENCH_QUERIES = [
 ]
 
 
-def corpus_to_parquet(spark, n_docs: int, path: str) -> None:
-    """Distributed deterministic corpus generation (FIXTURES.md §4)."""
+def corpus_to_parquet(spark, n_docs: int, path: str,
+                      n_files: int | None = None) -> None:
+    """Distributed deterministic corpus generation (FIXTURES.md §4).
+
+    `n_files` must SCALE with the corpus (round-6 soak finding): a
+    ~4MB generated file is one parquet row group — unsplittable — so
+    the file, not maxPartitionBytes, sets the read task's work. At the
+    bench SFs 128 files keeps tasks at the ~1s design point, but 10M
+    docs over 128 files meant ~78k docs/task and a 71.8s straggler
+    over a 0.4s median (event-log measured). Default: one file per
+    ~8k docs, floored at 128."""
     import pandas as pd
 
     from pdfredact_spark.fixtures import corpus_doc, mega_doc
@@ -85,9 +94,11 @@ def corpus_to_parquet(spark, n_docs: int, path: str) -> None:
                  "spans": [d["spans"] for d in docs]}
             )
 
+    if n_files is None:
+        n_files = max(128, n_docs // 8000)
     (
         spark.range(n_docs)
-        .repartition(128)
+        .repartition(n_files)
         .mapInPandas(gen, schema=DOC_SCHEMA)
         .write.mode("overwrite")
         .parquet(path)

@@ -276,6 +276,27 @@ def test_star_cc_reuse_or_clean_and_kill_resume(spark, tmp_path):
         del os.environ["PDFREDACT_CC_WORKDIR"]
 
 
+def test_graded_cc_query_honors_cc_workdir(spark, tmp_path, monkeypatch):
+    """Wiring check for the graded surface: with PDFREDACT_CC_WORKDIR
+    set, q_dedup_clusters must actually materialize its CC rounds under
+    <base>/dedup_clusters (the durable resume point flow 8 drives), and
+    return the same result as the default temp-dir path."""
+    import os
+
+    from pdfredact_spark.queries import SQL_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    baseline = {
+        tuple(r) for r in SQL_QUERIES["dedup_clusters"](spark, sf).collect()
+    }
+    monkeypatch.setenv("PDFREDACT_CC_WORKDIR", str(tmp_path))
+    got = {tuple(r) for r in SQL_QUERIES["dedup_clusters"](spark, sf).collect()}
+    assert got == baseline and got
+    wd = tmp_path / "dedup_clusters"
+    assert wd.is_dir()
+    assert any(d.startswith("e_") for d in os.listdir(wd))
+
+
 def test_star_cc_matches_propagation_on_random_graph(spark):
     """Cross-check: the star algorithm and round-3's min-label
     propagation must produce identical (node, label) sets on a seeded

@@ -1,0 +1,131 @@
+"""Redaction soak at configurable scale (round-5 verdict, next #5: one
+notch larger than the 1M-doc soak — default 10M docs at local[32]).
+
+Generates the deterministic bench corpus (mega-doc-laced, same shape as
+bench.py), runs ONE read -> redact -> write job with Spark event logging
+on, and prints a single JSON line with throughput plus event-log
+evidence: per-task duration balance for the dominant stage (straggler
+bound) and the JVM GC fraction (the memory-pressure signal a 10x corpus
+is meant to stress).
+
+Usage:
+  python tools/soak_redact.py [n_docs] [cores]   # defaults 10_000_000, 32
+
+Scratch lives under /tmp and is deleted on exit. ~10 min at defaults.
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    from bench import corpus_to_parquet, _warm_python_workers
+    from pdfredact_spark.fixtures import SSN_RULE
+    from pdfredact_spark.pipeline import redact
+    from pdfredact_spark.session import get_spark
+
+    workdir = tempfile.mkdtemp(prefix="pdfredact-soak-")
+    event_dir = os.path.join(workdir, "events")
+    os.makedirs(event_dir)
+    corpus_path = os.path.join(workdir, "corpus")
+    out_path = os.path.join(workdir, "out")
+    try:
+        # -- generation session (no event log: gen isn't the SUT) -------
+        gen = get_spark(master=f"local[{cores}]", app_name="soak-gen")
+        gen.sparkContext.setLogLevel("ERROR")
+        t0 = time.perf_counter()
+        corpus_to_parquet(gen, n_docs, corpus_path)
+        gen_sec = time.perf_counter() - t0
+        gen.stop()
+
+        # -- measured redaction session (bench split sizing) ------------
+        spark = get_spark(
+            master=f"local[{cores}]",
+            app_name="soak-redact",
+            shuffle_partitions=2 * cores,
+            extra={
+                "spark.sql.files.maxPartitionBytes": "2m",
+                "spark.sql.files.openCostInBytes": "2m",
+                "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": f"file://{event_dir}",
+                "spark.eventLog.compress": "false",
+                "spark.eventLog.rolling.enabled": "false",
+            },
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        app_id = spark.sparkContext.applicationId
+        _warm_python_workers(spark)
+        df = spark.read.parquet(corpus_path)
+        t0 = time.perf_counter()
+        out, _errs = redact(df, [SSN_RULE])
+        out.write.mode("overwrite").parquet(out_path)
+        redact_sec = time.perf_counter() - t0
+        n_out = spark.read.parquet(out_path).count()
+        spark.stop()
+        assert n_out == n_docs, (n_out, n_docs)
+
+        # -- event-log evidence -----------------------------------------
+        by_stage: dict = collections.defaultdict(list)
+        gc_ms = 0
+        run_ms = 0
+        for f in glob.glob(f"{event_dir}/{app_id}*"):
+            for line in open(f):
+                e = json.loads(line)
+                if e["Event"] != "SparkListenerTaskEnd":
+                    continue
+                ti = e["Task Info"]
+                by_stage[e["Stage ID"]].append(
+                    (ti["Finish Time"] - ti["Launch Time"]) / 1000.0
+                )
+                tm = e.get("Task Metrics") or {}
+                gc_ms += tm.get("JVM GC Time", 0)
+                run_ms += tm.get("Executor Run Time", 0)
+        # dominant stage by TOTAL task time (the Python redact stage) —
+        # by task count would pick a many-task trivial stage like the
+        # output count
+        stage_id, durs = max(by_stage.items(), key=lambda kv: sum(kv[1]))
+        durs.sort()
+        straggler = {
+            "stage": stage_id,
+            "n_tasks": len(durs),
+            "median": round(durs[len(durs) // 2], 3),
+            "p99": round(durs[int(len(durs) * 0.99)], 3),
+            "max": round(durs[-1], 3),
+        }
+        result = {
+            "n_docs": n_docs,
+            "cores": cores,
+            "gen_sec": round(gen_sec, 1),
+            "redact_sec": round(redact_sec, 1),
+            "docs_per_sec": round(n_docs / redact_sec, 1),
+            "straggler": straggler,
+            "gc_frac_of_run": round(gc_ms / max(run_ms, 1), 4),
+        }
+        # the soak's pass criteria, asserted here so a regression fails
+        # loudly instead of needing a human to eyeball the journal
+        assert straggler["max"] <= max(
+            4 * straggler["median"], straggler["median"] + 4.0
+        ), straggler
+        assert result["gc_frac_of_run"] < 0.15, result
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
