@@ -184,7 +184,10 @@ def _burn(n: int) -> int:
     return x
 
 
-PROBE_TRUST_BAR = 0.95  # CLAUDE.md noise discipline (judged bar, r5 #1)
+# The repo's noise discipline (CLAUDE.md round-5: trust runs whose
+# embedded probe eff_2_to_8 >= ~0.97; round-6 review #4 caught an
+# initial 0.95 that would have published 0.95-0.96 windows unflagged).
+PROBE_TRUST_BAR = 0.97
 
 
 def _probe_until_quiet(attempts: int = 3, wait_s: float = 45.0) -> tuple[dict, bool]:
@@ -284,7 +287,12 @@ def main() -> None:
         qtimes = run_queries(sf_dir, cpus)
 
         # closing probe: a window that WENT noisy mid-run is as untrusted
-        # as one that started noisy — flag it, don't hide it
+        # as one that started noisy — flag it, don't hide it. Settle
+        # first: probing immediately after spark.stop() measures OUR
+        # dying JVM's shutdown/GC tail, not the host (observed: pre
+        # 0.96-1.07 but post 0.73-0.92 across three otherwise-quiet
+        # runs; with the settle the post probe matches the pre).
+        time.sleep(15)
         post_probe = _cpu_quota_probe()
         contended = contended or post_probe["eff_2_to_8"] < PROBE_TRUST_BAR
 

@@ -168,9 +168,13 @@ class ObjectStoreLedgerStorage(LedgerStorage):
     def _list_keys(self, prefix: str):
         import os
 
-        root = prefix
-        while root and root != "/" and not os.path.isdir(root):
-            root = os.path.dirname(root)
+        # Keys matching '<dir>/stem...' can only live under <dir> (or,
+        # for a '<dir>/' prefix, under <dir> itself) — walk exactly
+        # that root and nothing else. Climbing to the nearest EXISTING
+        # ancestor (round-6 review #1) walked arbitrary unrelated trees
+        # (worst case '/') whenever the prefix's parent didn't exist
+        # yet, e.g. is_dir() on a fresh not-yet-created work_dir.
+        root = prefix.rstrip("/") if prefix.endswith("/") else os.path.dirname(prefix)
         if not os.path.isdir(root):
             return
         for dirpath, _dirs, files in os.walk(root):

@@ -72,7 +72,10 @@ def _config_fingerprint(rules: list[Rule], flatten: bool, n_buckets: int) -> str
     file silently produced a mixed corpus). Rule.description is
     deliberately EXCLUDED (ADVICE r5): it never reaches the kernel, so
     a cosmetic description edit in the rules file must not hard-fail an
-    otherwise-valid resume."""
+    otherwise-valid resume. NOTE this made the digest a v2: manifests
+    written by pre-round-6 builds (description included) no longer
+    match, so their resume fails closed with the drift error — rerun
+    from scratch; there is no silent mixing either way."""
     import hashlib
 
     payload = json.dumps(

@@ -13,6 +13,7 @@ covers intra-job resume of one large batch.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -507,6 +508,21 @@ def dedup_stream(
 # ---------------------------------------------------------------------------
 EVENT_SCHEMA = "event_id long, ts timestamp_ntz, user_id long"
 
+
+def ntz_as_utc_expr(col: str):
+    """TIMESTAMP (LTZ) instant whose epoch equals the NTZ wall clock of
+    `col` read as UTC — tz-stable in ANY session timezone. Built
+    field-by-field with make_timestamp(..., 'UTC') because the shorter
+    convert_timezone('UTC', session_tz, ts) + cast round-trips through
+    the SESSION-LOCAL wall clock, which is AMBIGUOUS in a DST fall-back
+    hour (the cast resolves the repeated wall hour to one offset,
+    shifting those instants by an hour — round-6 review #2). UTC has no
+    DST, so the field construction is bijective."""
+    return F.expr(
+        f"make_timestamp(year({col}), month({col}), day({col}), "
+        f"hour({col}), minute({col}), extract(second from {col}), 'UTC')"
+    )
+
 _SESSION_OUT = (
     "user_id long, session_start double, session_end double, n_events long"
 )
@@ -653,6 +669,17 @@ def sessionize_stream(
     timeout_sec=None (default, the availableNow shape) no watermark is
     applied, state is bounded by #distinct users per drain, and
     open_sessions() is the flush path.
+
+    CHOOSE timeout_sec AT CHECKPOINT BIRTH (round-6 review #6):
+    toggling it against an existing _session_checkpoint changes the
+    GroupStateTimeout mode and injects a watermark into a restored
+    stateful plan — a restart-incompatible change — and even where a
+    restart proceeds, keys restored from the no-timeout era carry no
+    timeout timestamp (it is armed on state.update, i.e. only for keys
+    that receive data), so legacy idle users would sit in state
+    forever. Enabling eviction on a long-lived deployment means a new
+    out_dir/checkpoint (replaying the source, which availableNow plus
+    idempotent sinks makes safe).
     """
     import numpy as np
     import pandas as pd
@@ -664,22 +691,20 @@ def sessionize_stream(
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     )
     if timeout_sec is not None:
-        # The watermark exists to drive event-time timeouts; gap_sec
-        # delay keeps the pre-operator late-drop no stricter than the
-        # operator's own too-late policy. Watermarks require TIMESTAMP
-        # (LTZ), and the epoch must be TZ-STABLE (the operator treats
-        # the NTZ wall clock as UTC — timeout timestamps are computed
-        # from those epochs): convert_timezone('UTC' -> session tz)
-        # then cast yields an instant whose epoch equals the NTZ wall
-        # clock read as UTC, in ANY session timezone. ts itself stays
-        # NTZ so the fn's arrow path is identical to the default mode.
+        # The watermark exists to drive event-time timeouts; a gap_sec
+        # delay (CEILED to ms — truncation would make the pre-operator
+        # late-drop stricter than the operator's own too-late policy,
+        # round-6 review #3) keeps watermark filtering no stricter than
+        # the merge window. Watermarks require TIMESTAMP (LTZ), and the
+        # epoch must be TZ-STABLE (the operator treats the NTZ wall
+        # clock as UTC — timeout timestamps are computed from those
+        # epochs): ntz_as_utc_expr builds the instant field-by-field in
+        # UTC, unambiguous in ANY session timezone. ts itself stays NTZ
+        # so the fn's arrow path is identical to the default mode.
+        delay_ms = int(math.ceil(gap_sec * 1000))
         stream = stream.withColumn(
-            "ts_wm",
-            F.expr(
-                "cast(convert_timezone('UTC', current_timezone(), ts) "
-                "as timestamp)"
-            ),
-        ).withWatermark("ts_wm", f"{int(gap_sec)} seconds")
+            "ts_wm", ntz_as_utc_expr("ts")
+        ).withWatermark("ts_wm", f"{delay_ms} milliseconds")
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key

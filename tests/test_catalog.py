@@ -33,6 +33,34 @@ def test_media_real_decode_is_stubbed():
         decode_media(b"payload", fake=False)
 
 
+def test_object_store_list_never_walks_outside_prefix_dir(tmp_path, monkeypatch):
+    """Round-6 review #1: a key query whose prefix-parent doesn't exist
+    must return empty WITHOUT walking any ancestor — the original
+    nearest-existing-ancestor climb os.walk'ed arbitrary unrelated
+    trees (worst case '/') on e.g. is_dir() of a fresh not-yet-created
+    work_dir."""
+    import os
+
+    from pdfredact_spark.catalog import ObjectStoreLedgerStorage
+
+    st = ObjectStoreLedgerStorage()
+    root = str(tmp_path / "store")
+    st._put(os.path.join(root, "real", "k.parquet"), b"x")
+
+    walked: list = []
+    real_walk = os.walk
+    monkeypatch.setattr(
+        os, "walk", lambda p, *a, **k: (walked.append(p), real_walk(p, *a, **k))[1]
+    )
+    assert not st.is_dir(os.path.join(root, "missing", "deep"))
+    assert st.list_dirs(os.path.join(root, "missing", "batch=*")) == []
+    assert not st.has_parquet(os.path.join(root, "also-missing"))
+    assert walked == []  # nonexistent parent -> no walk at all
+    # and a legitimate query walks exactly its own prefix dir
+    assert st.is_dir(os.path.join(root, "real"))
+    assert walked == [os.path.join(root, "real")]
+
+
 def test_object_store_storage_semantics(tmp_path):
     """The object-store LedgerStorage backend (round-5 verdict, next #2)
     must behave like an S3-class store, not like POSIX:

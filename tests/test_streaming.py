@@ -230,6 +230,44 @@ def test_sessionize_chunk_floors_sub_microsecond():
     )
 
 
+def test_ntz_as_utc_expr_is_dst_safe(spark):
+    """Round-6 review #2: the eviction watermark instant must equal the
+    NTZ wall clock read as UTC in ANY session timezone. The rejected
+    shortcut (convert_timezone + cast) round-trips through the
+    session-LOCAL wall clock, which is ambiguous in a DST fall-back
+    hour; make_timestamp(..., 'UTC') is bijective. Pin both a fall-back
+    -ambiguous instant and a plain one under America/New_York."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pdfredact_spark.streaming import ntz_as_utc_expr
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        rows = [
+            # 06:30Z renders as NY wall 01:30 on 2026-11-01 — the
+            # repeated fall-back hour (EDT->EST) the cast misresolves
+            (dt.datetime(2026, 11, 1, 6, 30, 0, 123456),),
+            (dt.datetime(2026, 7, 1, 12, 0, 0),),
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp_ntz")
+        got = [
+            r["e"]
+            for r in df.select(
+                F.unix_micros(ntz_as_utc_expr("ts")).alias("e")
+            ).collect()
+        ]
+        want = [
+            int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+            for (t,) in rows
+        ]
+        assert got == want, (got, want)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_sessionizer_state_eviction_on_timeout(spark, tmp_path):
     """Round-5 verdict next #4: the continuous-mode eviction knob
     (timeout_sec -> EventTimeTimeout + gap_sec watermark) was
