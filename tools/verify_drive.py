@@ -1,7 +1,9 @@
 """End-to-end verify drive for pdfredact_spark (flows 1-4 of the verify
 skill + flow 6, the streaming sessionizer parity drive (round-3 verdict
 #6) + flow 7, the compacting dedup ledger drive (round 5) + flow 8, the
-kill-mid-CC resume drive over PDFREDACT_CC_WORKDIR (round 6)).
+kill-mid-CC resume drive over PDFREDACT_CC_WORKDIR (round 6) + flow 9,
+a REAL SIGKILL of a separate driver process resumed by a fresh one
+(round 6)).
 
 Run (from a cwd outside /root/repo so the zip, not the checkout, is
 imported):
@@ -258,6 +260,86 @@ lbl2 = {
 assert lbl2 == {(900, 900), (901, 900)}, lbl2
 print("FLOW8 CC kill/resume: resumed in", len(resumed_rounds),
       "round(s) vs", len(fresh_rounds), "fresh; reuse-or-clean exact")
+
+# ---- flow 9 (round 6): REAL SIGKILL of a separate driver, resume -----
+# Flow 2 kills via an in-process exception (finally blocks still run).
+# The strongest form of the north rule's resumability claim is a driver
+# process killed dead mid-run — no cleanup code executes, the JVM dies
+# with it — and a fresh process completing the job from the committed
+# manifests without rewriting them.
+import signal
+import subprocess
+import time as _time
+
+import pdfredact_spark as _pkg
+
+_pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+_child_code = r"""
+import sys
+from pdfredact_spark.checkpoint import run_resumable
+from pdfredact_spark.fixtures import SSN_RULE, corpus
+from pdfredact_spark.pipeline import docs_to_df
+from pdfredact_spark.session import get_spark
+
+spark = get_spark(master="local[4]", app_name="kill-child", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+run_resumable(spark, docs_to_df(spark, corpus(48)), sys.argv[1], [SSN_RULE],
+              n_buckets=16, buckets_per_batch=2)
+print("CHILD-DONE", flush=True)
+"""
+out9 = os.path.join(out_root, "run9")
+# Strip the parent gateway's env: a pyspark child inheriting
+# PYSPARK_GATEWAY_PORT/SECRET attaches to THIS driver's JVM instead of
+# launching its own (and dies on the handshake) — the child must be a
+# fully independent driver for the SIGKILL to mean anything.
+env9 = {k: v for k, v in os.environ.items()
+        if not k.startswith("PYSPARK_GATEWAY")}
+env9["PYTHONPATH"] = _pkg_root + os.pathsep + env9.get("PYTHONPATH", "")
+child_log = open(os.path.join(out_root, "flow9-child.log"), "w")
+child = subprocess.Popen(
+    [sys.executable, "-c", _child_code, out9],
+    env=env9, stdout=child_log, stderr=subprocess.STDOUT,
+)
+commits9 = os.path.join(out9, "_commits")
+deadline = _time.time() + 240
+def _flow9_fail(msg):
+    child_log.flush()
+    with open(child_log.name) as fh:
+        tail = fh.read()[-2000:]
+    raise AssertionError(f"{msg}; child log tail:\n{tail}")
+
+while _time.time() < deadline:
+    if child.poll() is not None:
+        _flow9_fail(
+            f"flow 9 child exited (rc={child.returncode}) before the kill landed"
+        )
+    if os.path.isdir(commits9) and any(
+        f.startswith("batch-") and f.endswith(".json")
+        for f in os.listdir(commits9)
+    ):
+        break
+    _time.sleep(0.2)
+else:
+    child.kill()
+    _flow9_fail("flow 9 child never committed a manifest")
+child.send_signal(signal.SIGKILL)  # no finally blocks, no atexit, JVM dies
+child.wait()
+pre_kill = {
+    f: os.path.getmtime(os.path.join(commits9, f))
+    for f in os.listdir(commits9)
+    if f.startswith("batch-") and f.endswith(".json")
+}
+print("FLOW9 SIGKILLed child after", len(pre_kill), "committed manifest(s)")
+from pdfredact_spark.checkpoint import run_resumable
+
+run_resumable(spark, docs_to_df(spark, corpus(48)), out9, [SSN_RULE],
+              n_buckets=16, buckets_per_batch=2)
+for f, m in pre_kill.items():
+    assert os.path.getmtime(os.path.join(commits9, f)) == m, (
+        f"resume rewrote pre-kill manifest {f}")
+n9 = spark.read.parquet(out9 + "/data").select("doc_id").distinct().count()
+assert n9 == 48, n9
+print("FLOW9 resumed to", n9, "docs; pre-kill manifests untouched")
 
 print("VERIFY-DRIVE-OK")
 spark.stop()
