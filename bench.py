@@ -119,27 +119,37 @@ def _warm_python_workers(spark) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
-def run_redaction(master: str, corpus_path: str, out_path: str, shuffle: int) -> tuple[float, int]:
+def run_redaction(master: str, corpus_path: str, out_path: str, shuffle: int,
+                  extra: dict | None = None,
+                  info: dict | None = None) -> tuple[float, int]:
     """One measured redaction job: read parquet -> redact -> write parquet.
-    Returns (seconds, n_docs)."""
+    Returns (seconds, n_docs). The ONE definition of the measured job
+    (tools/soak_redact.py reuses it with event-log `extra` conf — a
+    split-sizing or committer change here applies to bench AND soak);
+    pass `info` to receive the applicationId for event-log parsing."""
     from pdfredact_spark.fixtures import SSN_RULE
     from pdfredact_spark.pipeline import redact
     from pdfredact_spark.session import get_spark
 
+    conf = {
+        # ~1 split per corpus file: tasks of ~1s python work each, so
+        # fine-grained scheduling absorbs mega-doc skew (measured: a
+        # coarse 8-split read left a 37s straggler vs 13s median)
+        "spark.sql.files.maxPartitionBytes": "2m",
+        "spark.sql.files.openCostInBytes": "2m",
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    }
+    if extra:
+        conf.update(extra)
     spark = get_spark(
         master=master,
         app_name=f"bench-{master}",
         shuffle_partitions=shuffle,
-        extra={
-            # ~1 split per corpus file: tasks of ~1s python work each, so
-            # fine-grained scheduling absorbs mega-doc skew (measured: a
-            # coarse 8-split read left a 37s straggler vs 13s median)
-            "spark.sql.files.maxPartitionBytes": "2m",
-            "spark.sql.files.openCostInBytes": "2m",
-            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
-        },
+        extra=conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if info is not None:
+        info["app_id"] = spark.sparkContext.applicationId
     try:
         _warm_python_workers(spark)
         df = spark.read.parquet(corpus_path)

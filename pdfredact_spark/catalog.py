@@ -179,6 +179,8 @@ class ObjectStoreLedgerStorage(LedgerStorage):
             return
         for dirpath, _dirs, files in os.walk(root):
             for f in sorted(files):
+                if f.endswith(".put-tmp"):
+                    continue  # an incomplete PUT never appears in LIST
                 k = os.path.join(dirpath, f)
                 if k.startswith(prefix):
                     yield k
@@ -199,11 +201,19 @@ class ObjectStoreLedgerStorage(LedgerStorage):
             return None
 
     def _put(self, key: str, data: bytes) -> None:
+        """The store's atomic whole-object PUT. The emulation must be
+        FAITHFUL to that atomicity (round-6 review #2.1): truncate-in-
+        place would let a crash mid-write leave a torn object — a real
+        S3 PUT can't — wedging resume on a truncated meta JSON. The
+        tmp+rename here is the emulated store's SERVER internals (below
+        the primitive line), not the compaction algorithm using rename."""
         import os
 
         os.makedirs(os.path.dirname(key), exist_ok=True)  # local-FS artifact
-        with open(key, "wb") as fh:  # models the store's atomic PUT
+        tmp = key + ".put-tmp"
+        with open(tmp, "wb") as fh:
             fh.write(data)
+        os.replace(tmp, key)
 
     def _delete(self, key: str) -> None:
         import os

@@ -222,7 +222,7 @@ def test_star_cc_resumes_from_materialized_rounds(spark, tmp_path, ledger_storag
                               storage=ledger_storage)
 
 
-def test_star_cc_reuse_or_clean_and_kill_resume(spark, tmp_path):
+def test_star_cc_reuse_or_clean_and_kill_resume(spark, tmp_path, monkeypatch):
     """Round-5 verdict next #3: the graded CC queries own a durable
     work_dir, so (a) a kill mid-iteration (KillSwitch after round 2)
     must leave a _SUCCESS-marked round that the rerun fast-forwards
@@ -266,14 +266,14 @@ def test_star_cc_reuse_or_clean_and_kill_resume(spark, tmp_path):
     assert got2 == {(7, 7), (9, 7), (11, 7)}
 
     # env routing: unset -> None (temp-dir path); set -> <base>/<name>
-    assert _cc_work_dir("x") is None or "PDFREDACT_CC_WORKDIR" in os.environ
-    os.environ["PDFREDACT_CC_WORKDIR"] = str(tmp_path / "base")
-    try:
-        assert _cc_work_dir("dedup_clusters") == str(
-            tmp_path / "base" / "dedup_clusters"
-        )
-    finally:
-        del os.environ["PDFREDACT_CC_WORKDIR"]
+    # (monkeypatch, not bare os.environ — round-6 review: the old
+    # version asserted a tautology and could clobber a pre-set value)
+    monkeypatch.delenv("PDFREDACT_CC_WORKDIR", raising=False)
+    assert _cc_work_dir("x") is None
+    monkeypatch.setenv("PDFREDACT_CC_WORKDIR", str(tmp_path / "base"))
+    assert _cc_work_dir("dedup_clusters") == str(
+        tmp_path / "base" / "dedup_clusters"
+    )
 
 
 def test_graded_cc_query_honors_cc_workdir(spark, tmp_path, monkeypatch):

@@ -33,9 +33,7 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
-    from bench import corpus_to_parquet, _warm_python_workers
-    from pdfredact_spark.fixtures import SSN_RULE
-    from pdfredact_spark.pipeline import redact
+    from bench import corpus_to_parquet, run_redaction
     from pdfredact_spark.session import get_spark
 
     workdir = tempfile.mkdtemp(prefix="pdfredact-soak-")
@@ -52,31 +50,22 @@ def main() -> None:
         gen_sec = time.perf_counter() - t0
         gen.stop()
 
-        # -- measured redaction session (bench split sizing) ------------
-        spark = get_spark(
-            master=f"local[{cores}]",
-            app_name="soak-redact",
-            shuffle_partitions=2 * cores,
+        # -- measured job: bench.run_redaction, the ONE definition of
+        # the measured pipeline (round-6 review #2.5: a split-sizing or
+        # committer change must hit bench and soak alike), plus
+        # event-log conf for the straggler/GC evidence
+        info: dict = {}
+        redact_sec, n_out = run_redaction(
+            f"local[{cores}]", corpus_path, out_path, shuffle=2 * cores,
             extra={
-                "spark.sql.files.maxPartitionBytes": "2m",
-                "spark.sql.files.openCostInBytes": "2m",
-                "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
                 "spark.eventLog.enabled": "true",
                 "spark.eventLog.dir": f"file://{event_dir}",
                 "spark.eventLog.compress": "false",
                 "spark.eventLog.rolling.enabled": "false",
             },
+            info=info,
         )
-        spark.sparkContext.setLogLevel("ERROR")
-        app_id = spark.sparkContext.applicationId
-        _warm_python_workers(spark)
-        df = spark.read.parquet(corpus_path)
-        t0 = time.perf_counter()
-        out, _errs = redact(df, [SSN_RULE])
-        out.write.mode("overwrite").parquet(out_path)
-        redact_sec = time.perf_counter() - t0
-        n_out = spark.read.parquet(out_path).count()
-        spark.stop()
+        app_id = info["app_id"]
         assert n_out == n_docs, (n_out, n_docs)
 
         # -- event-log evidence -----------------------------------------

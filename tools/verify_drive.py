@@ -296,9 +296,15 @@ env9 = {k: v for k, v in os.environ.items()
         if not k.startswith("PYSPARK_GATEWAY")}
 env9["PYTHONPATH"] = _pkg_root + os.pathsep + env9.get("PYTHONPATH", "")
 child_log = open(os.path.join(out_root, "flow9-child.log"), "w")
+# own session/process group: the kill must take the child's JVM (a
+# grandchild) down WITH it — otherwise the orphan JVM's in-flight
+# uncommitted batch write races the resume's writes to the same tree
+# (round-6 review #2.2), and killing the whole driver process tree is
+# also the realistic crash shape
 child = subprocess.Popen(
     [sys.executable, "-c", _child_code, out9],
     env=env9, stdout=child_log, stderr=subprocess.STDOUT,
+    start_new_session=True,
 )
 commits9 = os.path.join(out9, "_commits")
 deadline = _time.time() + 240
@@ -320,9 +326,9 @@ while _time.time() < deadline:
         break
     _time.sleep(0.2)
 else:
-    child.kill()
+    os.killpg(os.getpgid(child.pid), signal.SIGKILL)
     _flow9_fail("flow 9 child never committed a manifest")
-child.send_signal(signal.SIGKILL)  # no finally blocks, no atexit, JVM dies
+os.killpg(os.getpgid(child.pid), signal.SIGKILL)  # driver + its JVM, dead
 child.wait()
 pre_kill = {
     f: os.path.getmtime(os.path.join(commits9, f))
