@@ -118,6 +118,88 @@ def test_object_store_storage_semantics(tmp_path):
     assert st.read_json(meta_key) == {"gen": 1}
 
 
+def test_storage_backends_equivalent_on_random_op_sequences(tmp_path):
+    """Seeded randomized equivalence: for any sequence of external
+    writes (simulating Spark executors laying down part files +
+    _SUCCESS markers, as every engine write does) interleaved with
+    interface operations, the POSIX and object-store backends must
+    agree on every observable — list_dirs, is_dir, is_file,
+    has_parquet, parquet_bytes_under, read_json — and deletes must
+    leave both in agreeing states. The ONE designed divergence is
+    empty directories (visible to POSIX glob, nonexistent in an object
+    store); the engine never creates file-less directories (Spark
+    always writes _SUCCESS), so the generator always puts >= 1 file in
+    a directory it creates."""
+    import json
+    import os
+    import random
+
+    from pdfredact_spark.catalog import LedgerStorage, ObjectStoreLedgerStorage
+
+    backends = {
+        "posix": (LedgerStorage(), str(tmp_path / "posix")),
+        "store": (ObjectStoreLedgerStorage(), str(tmp_path / "store")),
+    }
+
+    def external_write(rel: str, data: bytes) -> None:
+        for _st, root in backends.values():
+            p = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as fh:
+                fh.write(data)
+
+    def observe(rel_pattern_base: str):
+        """All observables, root-normalized, from both backends."""
+        outs = []
+        for st, root in backends.values():
+            base = os.path.join(root, rel_pattern_base)
+            dirs = [d[len(root):] for d in st.list_dirs(base + "=*")]
+            facts = []
+            for rd in dirs:
+                p = root + rd
+                facts.append(
+                    (rd, st.is_dir(p), st.has_parquet(p),
+                     st.is_file(os.path.join(p, "_SUCCESS")),
+                     st.parquet_bytes_under([p]))
+                )
+            meta = st.read_json(os.path.join(root, "meta.json"))
+            outs.append((sorted(dirs), sorted(facts), meta))
+        return outs
+
+    rng = random.Random(20260817)
+    live: list[str] = []
+    for step in range(300):
+        op = rng.random()
+        if op < 0.45 or not live:
+            # external write: a new "batch" dir with files
+            b = rng.randrange(40)
+            d = f"ledger/batch={b}"
+            n_parq = rng.randrange(3)
+            for i in range(n_parq):
+                external_write(
+                    f"{d}/part-{i}.parquet", b"p" * rng.randrange(1, 9)
+                )
+            external_write(f"{d}/_SUCCESS", b"")
+            if d not in live:
+                live.append(d)
+        elif op < 0.65:
+            # meta flip through the interface on both backends
+            obj = {"gen": step, "k": rng.randrange(5)}
+            for st, root in backends.values():
+                st.write_json_atomic(os.path.join(root, "meta.json"), obj)
+        elif op < 0.8:
+            # delete a live dir through the interface on both backends
+            d = live.pop(rng.randrange(len(live)))
+            for st, root in backends.values():
+                st.delete_tree(os.path.join(root, d))
+        if rng.random() < 0.5:
+            posix_view, store_view = observe("ledger/batch")
+            assert posix_view == store_view, (step, posix_view, store_view)
+    posix_view, store_view = observe("ledger/batch")
+    assert posix_view == store_view
+    assert posix_view[0] or posix_view[2]  # the run exercised something
+
+
 def test_session_parses_local_with_max_failures(spark):
     # local[N,maxFailures] is valid Spark master syntax; get_spark must not
     # crash deriving the shuffle-partition default from it (getOrCreate
