@@ -43,14 +43,30 @@ def test_conflicting_fragment_flags_exit_1(cmd):
 
 
 def test_conflict_exits_before_spark_starts():
-    # The hard-exit happens during argument validation; no session spin-up.
+    """The hard-exit happens during argument validation; no session
+    spin-up. Round-6 review: the old check asserted 'SparkSession' is
+    absent from stderr — a string Spark startup NEVER prints, so the
+    test passed even if validation moved after get_spark(). A real JVM
+    spin-up always emits the log4j-profile line to stderr in this env;
+    assert its absence, and keep the detector honest with a positive
+    control that actually starts a session and sees the marker."""
+    marker = "log4j"
     proc = subprocess.run(
         [sys.executable, JOB, "plan", "-i", "/tmp/x-in", "-o", "/tmp/x-out",
          "-p", "foo", "--fragment-aware", "--no-fragment-aware"],
         capture_output=True, text=True, timeout=60, cwd=str(REPO), env=ENV,
     )
     assert proc.returncode == 1
-    assert "SparkSession" not in proc.stderr
+    assert marker not in proc.stderr, proc.stderr[:500]
+
+    control = subprocess.run(
+        [sys.executable, "-c",
+         "from pdfredact_spark.session import get_spark; "
+         "get_spark(master='local[1]', app_name='marker-control').stop()"],
+        capture_output=True, text=True, timeout=120, cwd=str(REPO), env=ENV,
+    )
+    assert control.returncode == 0 and marker in control.stderr, (
+        "stderr marker for a real session start changed — update the test")
 
 
 def test_plan_summary_reads_materialized_json(spark, tmp_path, monkeypatch, capsys):

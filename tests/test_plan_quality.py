@@ -27,6 +27,34 @@ def plan_of(df) -> str:
     )
 
 
+def tree_of(df) -> str:
+    """The TREE section only of the formatted plan. The details section
+    after the blank line repeats every operator name (round-6 review:
+    'X below Y' assertions against the full text are vacuous whenever X
+    exists anywhere), so structural assertions must use the tree."""
+    return plan_of(df).split("\n\n")[0]
+
+
+def subtree_of(tree: str, node: str) -> str:
+    """The child lines of the first tree line containing `node` — lines
+    whose operator name starts in a deeper column, up to the next
+    sibling. Lets a test assert what a node actually CONSUMES."""
+    import re as _re
+
+    def name_col(line: str) -> int:
+        return _re.match(r"^[\s:+*-]*", line).end()
+
+    lines = tree.splitlines()
+    idx = next(i for i, l in enumerate(lines) if node in l)
+    col = name_col(lines[idx])
+    out = []
+    for line in lines[idx + 1:]:
+        if name_col(line) <= col:
+            break
+        out.append(line)
+    return "\n".join(out)
+
+
 def test_filter_pushdown_reaches_scan(spark):
     df = q_q1_pricing_summary(spark, SF_DIR)
     plan = plan_of(df)
@@ -37,11 +65,18 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_dimension_join_broadcasts(spark):
-    plan = plan_of(q_revenue_by_nation(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0] or True
-    # nation (25 rows) must be on the broadcast side
-    assert "BroadcastExchange" in plan
+    """Round-6 review: the old version carried an `or True` tautology
+    and never checked WHICH side broadcast. Every join in this query is
+    dim-sized on one side, so no sort-merge join may appear at all, and
+    nation's columns must sit under a BroadcastExchange (details-section
+    check: the exchange's Input lists n_nationkey)."""
+    df = q_revenue_by_nation(spark, SF_DIR)
+    tree = tree_of(df)
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree, tree
+    assert re.search(
+        r"\(\d+\) BroadcastExchange[\s\S]{0,600}?n_nationkey", plan_of(df)
+    ), "nation is not on a broadcast side"
 
 
 def test_q1_partial_aggregation(spark):
@@ -74,13 +109,21 @@ def test_locate_regions_default_is_shuffle_free(spark):
 
 
 def test_mega_split_only_shuffles_mega_slice(spark):
+    """Round-6 review: the old version only asserted an Exchange and a
+    MapInArrow EXIST, which a whole-input shuffle also satisfies. Pin
+    the structure: the small-doc branch is MapInArrow directly over
+    Filter over Scan (no Exchange touches it), and the tree carries
+    EXACTLY the mega branch's two exchanges (page fan-out + reassembly)
+    — a third exchange means something started shuffling the full
+    input."""
     docs = docs_to_df(spark, corpus(8))
     out = redact_full(docs, [SSN_RULE], mega_split=True)
-    plan = plan_of(out)
-    # mega path exists (exchange for page fan-out + reassembly)...
-    assert "Exchange" in plan
-    # ...but the small-doc branch still reaches the Arrow map stage
-    assert "MapInArrow" in plan
+    tree = tree_of(out)
+    assert re.search(
+        r":- MapInArrow \(\d+\)\s*\n\s*:\s*\+- Filter \(\d+\)\s*\n\s*:\s*\+- Scan",
+        tree,
+    ), tree
+    assert tree.count("Exchange") == 2, tree
 
 
 def test_whole_stage_codegen_on_sql_queries(spark):
@@ -102,7 +145,11 @@ def test_bucket_partition_pruning(spark, tmp_path):
                   n_buckets=4, buckets_per_batch=4)
     df = spark.read.parquet(out_dir + "/data").where(F.col("bucket") == 2)
     plan = plan_of(df)
-    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+    # the predicate must be INSIDE the PartitionFilters bracket (round-6
+    # review: a near-window substring check also matched a demoted
+    # PushedFilters data filter right after an empty PartitionFilters)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
     assert df.count() > 0
 
 
@@ -131,11 +178,17 @@ def test_exact_selection_has_no_per_group_sort_funnel(spark):
     from pdfredact_spark.queries import q_exact_quartiles, q_upper_median
 
     for fn in (q_upper_median, q_exact_quartiles):
-        plan = plan_of(fn(spark, SF_DIR))
+        df = fn(spark, SF_DIR)
+        plan = plan_of(df)
         assert "windowspecdefinition" in plan, plan
         assert plan.count("HashAggregate") >= 2, plan  # map-side combine
-        w_pos = plan.index(" Window ") if " Window " in plan else plan.index("Window")
-        assert "HashAggregate" in plan[w_pos:], plan
+        # the Window node's OWN subtree must contain the frequency
+        # aggregate (round-6 review: 'HashAggregate after Window' over
+        # the full formatted text was vacuous — the details section
+        # repeats every operator name, and the raw-row-ranking
+        # regression shape passed it)
+        tree = tree_of(df)
+        assert "HashAggregate" in subtree_of(tree, "Window ("), tree
 
 
 def test_rank_select_regime_b_binning(spark):

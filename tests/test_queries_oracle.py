@@ -84,11 +84,11 @@ def test_driver_window():
     assert set(ORACLES) == set(names)  # every graded query has an oracle
 
 
-def test_rows_only_queries_run(spark):
-    for name in set(QUERIES) - set(ORACLES):
-        df = QUERIES[name](spark, SF_DIR)
-        assert df.count() >= 0, name
-        assert len(df.columns) > 0, name
+# (test_rows_only_queries_run removed, round-6 review: the loop over
+# set(QUERIES) - set(ORACLES) was provably empty — test_driver_window
+# asserts set equality — so it executed nothing, and its `count() >= 0`
+# body was tautological besides. Oracle-less queries, if ever
+# reintroduced, must come with their own real test.)
 
 
 def test_entry_smoke(spark):

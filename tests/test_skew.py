@@ -28,7 +28,13 @@ spark = get_spark(
     extra={"spark.eventLog.enabled": "true",
            "spark.eventLog.dir": f"file://{event_dir}",
            "spark.eventLog.compress": "false",
-           "spark.eventLog.rolling.enabled": "false"},
+           "spark.eventLog.rolling.enabled": "false",
+           # the SHIPPED split sizing (bench/CLAUDE.md: ~1s of Python
+           # work per task) — the property under test; with the 128m
+           # default the whole corpus bin-packs into ~8 tasks and the
+           # probe measures a different layout than production
+           "spark.sql.files.maxPartitionBytes": "2m",
+           "spark.sql.files.openCostInBytes": "2m"},
 )
 spark.sparkContext.setLogLevel("ERROR")
 app_id = spark.sparkContext.applicationId
@@ -46,7 +52,10 @@ for f in glob.glob(f"{event_dir}/{app_id}*"):
         if e["Event"] == "SparkListenerTaskEnd":
             ti = e["Task Info"]
             by_stage[e["Stage ID"]].append((ti["Finish Time"] - ti["Launch Time"]) / 1000.0)
-stage_id, durs = max(by_stage.items(), key=lambda kv: len(kv[1]))
+# dominant stage by TOTAL task time (round-6 review: by task count the
+# probe graded the corpus-PREP write stage — 64 tiny tasks — while the
+# redaction stage it documents had fewer, bigger tasks)
+stage_id, durs = max(by_stage.items(), key=lambda kv: sum(kv[1]))
 durs.sort()
 print(json.dumps({"n_tasks": len(durs), "median": durs[len(durs) // 2], "max": durs[-1]}))
 """
@@ -85,7 +94,10 @@ for f in glob.glob(f"{event_dir}/{app_id}*"):
         if e["Event"] == "SparkListenerTaskEnd":
             ti = e["Task Info"]
             by_stage[e["Stage ID"]].append((ti["Finish Time"] - ti["Launch Time"]) / 1000.0)
-stage_id, durs = max(by_stage.items(), key=lambda kv: len(kv[1]))
+# dominant stage by TOTAL task time, not task count (round-6 review):
+# the many-task stage can be trivial setup; the straggler bound must
+# grade where the work actually went
+stage_id, durs = max(by_stage.items(), key=lambda kv: sum(kv[1]))
 durs.sort()
 out["straggler"] = {"n_tasks": len(durs), "median": durs[len(durs) // 2], "max": durs[-1]}
 print(json.dumps(out))

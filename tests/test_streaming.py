@@ -446,12 +446,16 @@ def test_dedup_ledger_scan_prunes_prefix_partitions(spark, tmp_path):
     assert len(all_pfx) >= 2  # the fixture must actually spread prefixes
     one = "x" + hashlib.md5(b"alpha").hexdigest()[0]
 
+    import re
+
     pruned = ledger_scan(spark, ledger_dir, prefixes=[one])
     plan = pruned._sc._jvm.PythonSQLUtils.explainString(
         pruned._jdf.queryExecution(), "formatted"
     )
-    assert "PartitionFilters" in plan
-    assert "pfx" in plan.split("PartitionFilters")[1][:200], plan
+    # predicate INSIDE the PartitionFilters bracket (round-6 review: a
+    # near-window check also matched a demoted PushedFilters entry)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "pfx" in m.group(1), plan
 
     rows = pruned.collect()
     assert rows and all(r["fp"].startswith(one[1:]) for r in rows)
