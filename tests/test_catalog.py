@@ -24,6 +24,69 @@ def test_table_name_routing():
     assert not _is_table_name("file:/data/docs")
 
 
+def test_catalog_iceberg_branch_routing(spark):
+    """The Iceberg runtime is environment-blocked (no jar — re-checked
+    every round), but the prepared switch's ROUTING logic is code, not
+    environment, so it gets a real test: with the Iceberg extension
+    configured, dotted table names must route to spark.table /
+    df.writeTo (append / partitionedBy+createOrReplace), while paths
+    keep routing to the parquet reader/writer — the format-agnostic
+    contract callers rely on. Uses call recorders; the session fixture
+    is only needed for F.col."""
+    import types
+
+    from pdfredact_spark.catalog import Catalog
+
+    calls: list = []
+
+    class Rec:
+        def __init__(self, name):
+            self._name = name
+
+        def __call__(self, *a, **k):
+            calls.append((self._name, a))
+            return self
+
+        def __getattr__(self, item):
+            return Rec(f"{self._name}.{item}")
+
+    class FakeSpark:
+        conf = types.SimpleNamespace(
+            get=lambda k: "org.apache.iceberg.spark.extensions."
+                          "IcebergSparkSessionExtensions"
+        )
+        read = Rec("read")
+
+        def table(self, t):
+            calls.append(("table", (t,)))
+            return "TABLE_DF"
+
+    cat = Catalog(FakeSpark())
+    assert cat.iceberg
+
+    assert cat.read("warehouse.docs.main") == "TABLE_DF"
+    assert ("table", ("warehouse.docs.main",)) in calls
+    cat.read("/data/docs")  # a PATH still routes to parquet
+    assert any(n == "read.parquet" for n, _a in calls)
+
+    df = types.SimpleNamespace(writeTo=Rec("writeTo"), write=Rec("write"))
+    calls.clear()
+    cat.append(df, "warehouse.docs.main")
+    assert calls[0] == ("writeTo", ("warehouse.docs.main",))
+    assert any(n == "writeTo.append" for n, _a in calls)
+
+    calls.clear()
+    cat.overwrite(df, "warehouse.docs.main", partition_by=["bucket"])
+    assert calls[0] == ("writeTo", ("warehouse.docs.main",))
+    assert any(n == "writeTo.partitionedBy" for n, _a in calls)
+    assert any(n.endswith("createOrReplace") for n, _a in calls)
+
+    calls.clear()
+    cat.append(df, "/data/docs", partition_by=["bucket"])  # path -> parquet
+    assert calls[0][0] == "write.mode" and calls[0][1] == ("append",)
+    assert any(n.endswith("parquet") for n, _a in calls)
+
+
 def test_media_real_decode_is_stubbed():
     import pytest
 
