@@ -115,6 +115,52 @@ class LedgerStorage:
                 )
         return total
 
+    # --- compaction lease (round-6: the single-writer contract in code) ---
+    def try_acquire_lease(self, path: str, owner: str, ttl_sec: float) -> bool:
+        """Single-winner lease: create-if-absent wins; an expired lease
+        (holder dead past its ttl — the contract forbids a live holder
+        outrunning it) is taken over. POSIX implementation: O_CREAT |
+        O_EXCL create is the atomic claim; stale takeover is
+        remove-then-retry-create, atomic enough under the ttl contract
+        (two takeover racers serialize on the O_EXCL create). The
+        object-store subclass overrides with a true CAS takeover."""
+        import json
+        import os
+        import time
+
+        payload = json.dumps(
+            {"owner": owner, "expires": time.time() + ttl_sec}
+        ).encode()
+        for _attempt in (0, 1):
+            try:
+                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                try:
+                    os.write(fd, payload)
+                finally:
+                    os.close(fd)
+                return True
+            except FileExistsError:
+                cur = self.read_json(path)
+                if cur is not None and cur.get("expires", 0) > time.time():
+                    return False  # live holder
+                try:  # stale (or unreadable torn) lease: clear and retry
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+        return False
+
+    def release_lease(self, path: str, owner: str) -> None:
+        """Release only a lease this owner still holds (a takeover after
+        our expiry must not be clobbered)."""
+        import os
+
+        cur = self.read_json(path)
+        if cur is not None and cur.get("owner") == owner:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+
 
 LOCAL_LEDGER_STORAGE = LedgerStorage()
 
@@ -295,6 +341,52 @@ class ObjectStoreLedgerStorage(LedgerStorage):
             for k in self._list_keys(p.rstrip("/") + "/")
             if k.endswith(".parquet")
         )
+
+    def try_acquire_lease(self, path: str, owner: str, ttl_sec: float) -> bool:
+        """True CAS lease: claim an absent lease with a conditional PUT
+        expecting etag None; take over a stale one with a conditional
+        PUT expecting the STALE content's etag — two takeover racers
+        cannot both win (the loser's etag no longer matches), which is
+        strictly stronger than the POSIX remove-then-recreate."""
+        import time
+
+        cur = self._get(path)
+        if cur is not None:
+            import json
+
+            try:
+                live = json.loads(cur).get("expires", 0) > time.time()
+            except ValueError:
+                live = False  # torn/garbage lease object: treat as stale
+            if live:
+                return False
+        try:
+            self.put_json_if(
+                path,
+                {"owner": owner, "expires": time.time() + ttl_sec},
+                self._etag(cur),
+            )
+            return True
+        except ConditionFailed:
+            return False  # raced: someone else claimed or took over first
+
+    def release_lease(self, path: str, owner: str) -> None:
+        cur = self._get(path)
+        if cur is None:
+            return
+        import json
+
+        try:
+            if json.loads(cur).get("owner") != owner:
+                return
+        except ValueError:
+            return
+        try:
+            self.put_json_if(path, {"owner": owner, "released": True},
+                             self._etag(cur))
+        except ConditionFailed:
+            return  # lost a takeover race: not ours to release anymore
+        self._delete(path)
 
 
 class Catalog:

@@ -191,6 +191,8 @@ def compact_ledger(
     out_dir: str,
     target_rows_per_prefix: int = 1_000_000,
     storage: LedgerStorage = LOCAL_LEDGER_STORAGE,
+    lease_ttl_sec: float | None = None,
+    lease_owner: str = "compactor",
 ) -> dict | None:
     """Fold every delta segment plus the previous compacted generation
     into generation G+1 under out_dir/ledger_compacted/gen=G+1/pfx=x<k
@@ -210,13 +212,34 @@ def compact_ledger(
     SINGLE-WRITER CONTRACT (round-5 review): call only while no
     micro-batch is writing deltas — the shipped availableNow shape
     compacts after the drain. A continuous deployment must pause the
-    trigger (or hold an external lock) around compaction: a delta dir
-    being written concurrently could be listed as empty and then
-    deleted after the stream finishes it, losing its fingerprints. As
-    defense in depth, non-folded dirs are re-checked for parquet
-    immediately before deletion and skipped if content appeared.
-    Returns the new meta, or None if there is nothing to compact."""
+    trigger around compaction: a delta dir being written concurrently
+    could be listed as empty and then deleted after the stream finishes
+    it, losing its fingerprints. As defense in depth, non-folded dirs
+    are re-checked for parquet immediately before deletion and skipped
+    if content appeared.
+
+    COMPACTOR-vs-COMPACTOR is enforced in code (round 6): pass
+    lease_ttl_sec to guard the run with a storage-level lease
+    (out_dir/compaction.lease — POSIX O_EXCL create, or the object
+    store's conditional-PUT CAS). A second compactor finding a live
+    lease returns the current meta untouched; a crashed holder's lease
+    is taken over once its ttl passes. Size the ttl safely above the
+    longest expected compaction. The lease does NOT replace the
+    pause-the-trigger rule for stream-vs-compactor — that remains
+    orchestration. Returns the resulting meta (None only when the
+    ledger never existed)."""
     join = storage.join
+    if lease_ttl_sec is not None:
+        lease = join(out_dir, "compaction.lease")
+        if not storage.try_acquire_lease(lease, lease_owner, lease_ttl_sec):
+            return _read_ledger_meta(out_dir, storage)  # another compactor runs
+        try:
+            return compact_ledger(
+                spark, out_dir, target_rows_per_prefix, storage,
+                lease_ttl_sec=None,
+            )
+        finally:
+            storage.release_lease(lease, lease_owner)
     ledger_dir = join(out_dir, "ledger")
     comp_root = join(out_dir, "ledger_compacted")
     meta = _read_ledger_meta(out_dir, storage)

@@ -581,6 +581,79 @@ def test_compaction_routes_all_io_through_ledger_storage(spark, tmp_path):
         assert pat not in src, f"direct FS call {pat} in streaming.py"
 
 
+def test_compaction_lease_excludes_second_compactor(spark, tmp_path, ledger_storage):
+    """Round-6: the compactor-vs-compactor half of the single-writer
+    contract is enforced in code via a storage-level lease. While one
+    holder is live, compact_ledger(lease_ttl_sec=...) must return the
+    current meta WITHOUT folding (deltas untouched); a crashed holder's
+    expired lease is taken over and compaction proceeds; releasing
+    frees it for the next run. Parameterized over both backends (POSIX
+    O_EXCL create vs object-store conditional-PUT CAS)."""
+    import os
+
+    from pdfredact_spark.streaming import (
+        _read_ledger_meta,
+        compact_ledger,
+        dedup_stream,
+    )
+
+    st = ledger_storage
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    in_dir, out_dir = str(tmp_path / "docs"), str(tmp_path / "dd")
+    spark.createDataFrame(
+        [(1, "a", "en", "s", 1), (2, "b", "en", "s", 1)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    dedup_stream(spark, in_dir, out_dir, storage=st)
+    lease = os.path.join(out_dir, "compaction.lease")
+
+    # a live foreign holder blocks: no fold, deltas survive
+    assert st.try_acquire_lease(lease, "other-compactor", ttl_sec=3600)
+    n_deltas = len(st.list_dirs(os.path.join(out_dir, "ledger", "batch=*")))
+    assert n_deltas >= 1
+    got = compact_ledger(spark, out_dir, target_rows_per_prefix=8,
+                         storage=st, lease_ttl_sec=3600)
+    assert got == _read_ledger_meta(out_dir, st)  # meta unchanged (None here)
+    assert len(
+        st.list_dirs(os.path.join(out_dir, "ledger", "batch=*"))
+    ) == n_deltas  # nothing absorbed
+
+    # the blocked attempt must not have clobbered the foreign lease
+    assert not st.try_acquire_lease(lease, "third", ttl_sec=3600)
+
+    # crashed holder: expire the lease by writing a stale one, then
+    # compaction takes over, folds, and releases
+    st.write_json_atomic(lease, {"owner": "other-compactor", "expires": 0})
+    meta = compact_ledger(spark, out_dir, target_rows_per_prefix=8,
+                          storage=st, lease_ttl_sec=3600)
+    assert meta is not None and meta["n_rows"] == 2
+    assert st.read_json(lease) is None  # released
+    # and a fresh acquire works now
+    assert st.try_acquire_lease(lease, "third", ttl_sec=3600)
+    st.release_lease(lease, "third")
+
+
+def test_object_store_lease_cas_takeover_single_winner(tmp_path):
+    """The object-store lease takeover is a true CAS: two racers that
+    both observed the same stale lease cannot both win — the second
+    conditional PUT fails on the changed etag."""
+    import pytest
+
+    from pdfredact_spark.catalog import ConditionFailed, ObjectStoreLedgerStorage
+
+    st = ObjectStoreLedgerStorage()
+    lease = str(tmp_path / "l.lease")
+    st.write_json_atomic(lease, {"owner": "dead", "expires": 0})
+    stale_etag = st.get_etag(lease)
+    # racer 1 wins the CAS takeover
+    st.put_json_if(lease, {"owner": "r1", "expires": 10**12}, stale_etag)
+    # racer 2, holding the same stale etag, must lose
+    with pytest.raises(ConditionFailed):
+        st.put_json_if(lease, {"owner": "r2", "expires": 10**12}, stale_etag)
+    assert st.read_json(lease)["owner"] == "r1"
+    # and the public API agrees: the lease is now live, acquire fails
+    assert not st.try_acquire_lease(lease, "r3", ttl_sec=3600)
+
+
 def test_dedup_ledger_compaction_bounds_reads(spark, tmp_path, ledger_storage):
     """Round-3 verdict #2: the per-batch ledger read must stay ~flat as
     total ledger size grows. With compaction enabled, the compacted
