@@ -835,11 +835,12 @@ def test_windowed_counts_stream_watermark_semantics(spark, tmp_path):
     assert got2[("2026-01-01 03:00:00", "click")] == 1  # hour-3 finalized
 
 
-def test_dedup_stream_five_wave_ledger_soak(spark, tmp_path):
+def test_dedup_stream_five_wave_ledger_soak(spark, tmp_path, ledger_storage):
     """Five ingestion waves with within-wave and cross-wave duplicates:
     the prefix-pruned ledger must keep exactly the first occurrence of
     each text (min doc_id within its arrival wave; earliest wave wins),
-    exercising the pruned anti-join over a multi-batch ledger layout."""
+    exercising the pruned anti-join over a multi-batch ledger layout —
+    on both storage backends (round 6)."""
     from pdfredact_spark.streaming import dedup_stream
 
     schema = "doc_id long, text string, lang string, source string, n_chars long"
@@ -864,7 +865,7 @@ def test_dedup_stream_five_wave_ledger_soak(spark, tmp_path):
     for w in waves:
         rows = [(d, t, "en", "s", len(t)) for d, t in w]
         spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(in_dir)
-        assert dedup_stream(spark, in_dir, out_dir) >= 1
+        assert dedup_stream(spark, in_dir, out_dir, storage=ledger_storage) >= 1
 
     got = {r["text"]: r["doc_id"]
            for r in spark.read.parquet(out_dir + "/data").collect()}
