@@ -140,7 +140,14 @@ class LedgerStorage:
                     os.close(fd)
                 return True
             except FileExistsError:
-                cur = self.read_json(path)
+                try:
+                    cur = self.read_json(path)
+                except ValueError:
+                    # ADVICE r6 (medium): a holder that crashed between the
+                    # O_EXCL create and os.write leaves an empty/torn file;
+                    # json.JSONDecodeError (a ValueError) must mean STALE,
+                    # not wedge every future compaction until hand-removed.
+                    cur = None
                 if cur is not None and cur.get("expires", 0) > time.time():
                     return False  # live holder
                 try:  # stale (or unreadable torn) lease: clear and retry
@@ -154,7 +161,10 @@ class LedgerStorage:
         our expiry must not be clobbered)."""
         import os
 
-        cur = self.read_json(path)
+        try:
+            cur = self.read_json(path)
+        except ValueError:
+            return  # torn lease can't be ours; leave it for stale takeover
         if cur is not None and cur.get("owner") == owner:
             try:
                 os.remove(path)
@@ -371,22 +381,32 @@ class ObjectStoreLedgerStorage(LedgerStorage):
             return False  # raced: someone else claimed or took over first
 
     def release_lease(self, path: str, owner: str) -> None:
+        """Release = conditional-PUT a TOMBSTONE ({released, expires: 0} —
+        immediately stale, so the next try_acquire_lease claims it via CAS
+        on the tombstone's etag). No trailing DELETE (ADVICE r6): an
+        unconditional delete after the CAS opened a window where a racer's
+        fresh CAS-acquired lease was destroyed, re-admitting a second
+        concurrent winner — exactly what the CAS exists to prevent. The
+        single lease key is simply overwritten by every later cycle."""
         cur = self._get(path)
         if cur is None:
             return
         import json
 
         try:
-            if json.loads(cur).get("owner") != owner:
-                return
+            obj = json.loads(cur)
         except ValueError:
             return
+        if obj.get("owner") != owner or obj.get("released"):
+            return  # not ours (takeover happened) / already tombstoned
         try:
-            self.put_json_if(path, {"owner": owner, "released": True},
-                             self._etag(cur))
+            self.put_json_if(
+                path,
+                {"owner": owner, "released": True, "expires": 0},
+                self._etag(cur),
+            )
         except ConditionFailed:
             return  # lost a takeover race: not ours to release anymore
-        self._delete(path)
 
 
 class Catalog:

@@ -192,7 +192,7 @@ def compact_ledger(
     target_rows_per_prefix: int = 1_000_000,
     storage: LedgerStorage = LOCAL_LEDGER_STORAGE,
     lease_ttl_sec: float | None = None,
-    lease_owner: str = "compactor",
+    lease_owner: str | None = None,
 ) -> dict | None:
     """Fold every delta segment plus the previous compacted generation
     into generation G+1 under out_dir/ledger_compacted/gen=G+1/pfx=x<k
@@ -226,10 +226,29 @@ def compact_ledger(
     is taken over once its ttl passes. Size the ttl safely above the
     longest expected compaction. The lease does NOT replace the
     pause-the-trigger rule for stream-vs-compactor — that remains
-    orchestration. Returns the resulting meta (None only when the
-    ledger never existed)."""
+    orchestration. lease_owner defaults to a per-process unique id
+    (ADVICE r6: a shared constant would void release_lease's owner
+    check — a holder outrunning its ttl would match a usurper's owner
+    string and clobber the usurper's live lease); pass an explicit
+    owner only to name ONE logical holder, never two processes.
+
+    Returns the resulting meta after folding; with no deltas to fold,
+    the current meta unmodified (None when the ledger never existed).
+    A lease-blocked call ALSO returns the current meta unmodified —
+    indistinguishable by return value from nothing-to-compact, by
+    design: both mean "the ledger is (being brought) up to date, you
+    wrote nothing"; callers needing to know whether THEY compacted
+    should compare the returned gen to the meta they read before."""
     join = storage.join
     if lease_ttl_sec is not None:
+        if lease_owner is None:
+            import socket
+            import uuid
+
+            lease_owner = (
+                f"compactor-{socket.gethostname()}-{os.getpid()}"
+                f"-{uuid.uuid4().hex[:8]}"
+            )
         lease = join(out_dir, "compaction.lease")
         if not storage.try_acquire_lease(lease, lease_owner, lease_ttl_sec):
             return _read_ledger_meta(out_dir, storage)  # another compactor runs

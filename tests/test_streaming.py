@@ -626,10 +626,93 @@ def test_compaction_lease_excludes_second_compactor(spark, tmp_path, ledger_stor
     meta = compact_ledger(spark, out_dir, target_rows_per_prefix=8,
                           storage=st, lease_ttl_sec=3600)
     assert meta is not None and meta["n_rows"] == 2
-    assert st.read_json(lease) is None  # released
+    # released: absent (POSIX remove) or a tombstone (object-store CAS —
+    # round-7 ADVICE: never a trailing delete, see release_lease)
+    cur = st.read_json(lease)
+    assert cur is None or cur.get("released"), cur
     # and a fresh acquire works now
     assert st.try_acquire_lease(lease, "third", ttl_sec=3600)
     st.release_lease(lease, "third")
+
+
+def test_lease_torn_file_treated_as_stale(tmp_path, ledger_storage):
+    """Round-7 ADVICE (medium): a holder crashing between lease create
+    and payload write leaves an empty/torn lease. try_acquire_lease must
+    treat it as stale and claim it — not raise JSONDecodeError and wedge
+    every future compaction — on BOTH backends; release of a torn lease
+    is a no-op."""
+    import os
+
+    st = ledger_storage
+    lease = str(tmp_path / "compaction.lease")
+    os.makedirs(tmp_path, exist_ok=True)
+    with open(lease, "wb") as fh:
+        fh.write(b"")  # torn: created, payload never written
+    st.release_lease(lease, "anyone")  # must not raise
+    assert st.try_acquire_lease(lease, "claimer", ttl_sec=3600)
+    assert st.read_json(lease)["owner"] == "claimer"
+    st.release_lease(lease, "claimer")
+    # partial JSON counts as torn too
+    with open(lease, "wb") as fh:
+        fh.write(b'{"owner": "half')
+    assert st.try_acquire_lease(lease, "claimer2", ttl_sec=3600)
+    assert st.read_json(lease)["owner"] == "claimer2"
+
+
+def test_object_store_release_cannot_destroy_successor_lease(tmp_path):
+    """Round-7 ADVICE: release_lease is a tombstone conditional-PUT with
+    NO trailing delete. A racer that CAS-acquires the tombstone gets a
+    live lease that the old owner can no longer destroy (old owner's
+    second release sees a foreign owner and no-ops), so single-winner
+    holds across the release boundary."""
+    from pdfredact_spark.catalog import ObjectStoreLedgerStorage
+
+    st = ObjectStoreLedgerStorage()
+    lease = str(tmp_path / "l.lease")
+    assert st.try_acquire_lease(lease, "r1", ttl_sec=3600)
+    st.release_lease(lease, "r1")
+    tomb = st.read_json(lease)
+    assert tomb.get("released") and tomb.get("expires") == 0  # immediately stale
+    # successor claims the tombstone via CAS
+    assert st.try_acquire_lease(lease, "r2", ttl_sec=3600)
+    # old owner replays its release (the exact window the dropped
+    # unconditional delete used to hit): must be a no-op
+    st.release_lease(lease, "r1")
+    assert st.read_json(lease)["owner"] == "r2"
+    # double-release by the current owner is idempotent
+    st.release_lease(lease, "r2")
+    st.release_lease(lease, "r2")
+    assert st.read_json(lease).get("released")
+    # while a third party can still claim afterwards
+    assert st.try_acquire_lease(lease, "r3", ttl_sec=3600)
+
+
+def test_compact_ledger_default_owner_is_process_unique(spark, tmp_path, monkeypatch):
+    """Round-7 ADVICE: two independent compactors must never share an
+    owner string (a shared constant voids release_lease's owner check).
+    The default owner is generated per-call with pid+uuid entropy."""
+    import uuid as uuid_mod
+
+    from pdfredact_spark import streaming as S
+
+    seen = []
+    real_uuid4 = uuid_mod.uuid4
+
+    def spy():
+        u = real_uuid4()
+        seen.append(u.hex[:8])
+        return u
+
+    monkeypatch.setattr(uuid_mod, "uuid4", spy)
+    out_dir = str(tmp_path / "dd")
+    (tmp_path / "dd").mkdir()  # the POSIX lease file needs its parent dir
+    # ledger never existed: compact returns None but still exercises the
+    # lease acquire/release cycle with a generated owner
+    assert S.compact_ledger(spark, out_dir, storage=S.LOCAL_LEDGER_STORAGE,
+                            lease_ttl_sec=3600) is None
+    assert S.compact_ledger(spark, out_dir, storage=S.LOCAL_LEDGER_STORAGE,
+                            lease_ttl_sec=3600) is None
+    assert len(seen) >= 2 and seen[0] != seen[1], seen
 
 
 def test_object_store_lease_cas_takeover_single_winner(tmp_path):
