@@ -570,6 +570,75 @@ _SESSION_OUT = (
 )
 _SESSION_STATE = "start_ts double, last_ts double, n long"
 
+# Bump when _SESSION_OUT/_SESSION_STATE or the operator's state semantics
+# change incompatibly; recorded in the checkpoint config sidecar so a new
+# build fails closed against an old checkpoint instead of feeding a
+# restored state store a different schema.
+_SESSION_CONFIG_REV = 1
+
+
+def _session_config(gap_sec: float, timeout_sec: float | None) -> dict:
+    return {
+        "rev": _SESSION_CONFIG_REV,
+        "gap_sec": float(gap_sec),
+        "timeout_sec": None if timeout_sec is None else float(timeout_sec),
+        "out_schema": _SESSION_OUT,
+        "state_schema": _SESSION_STATE,
+    }
+
+
+def _guard_session_config(
+    out_dir: str, gap_sec: float, timeout_sec: float | None
+) -> None:
+    """Enforce "choose the sessionizer config at checkpoint birth"
+    (round-6 verdict, next-round #2) the same way checkpoint.py's
+    _config_fingerprint guards batch resume: the first run persists
+    {gap_sec, timeout_sec, schema rev} as a sidecar next to
+    _session_checkpoint; every restart compares and HARD-FAILS on drift.
+    Toggling timeout_sec against a live checkpoint changes the
+    GroupStateTimeout mode and injects/removes a watermark in a restored
+    stateful plan (keys from the no-timeout era carry no timeout
+    timestamp, so legacy idle users would sit in state forever);
+    changing gap_sec silently changes which events merge into restored
+    open sessions. Both now fail fast with the remedy in the message.
+    A checkpoint predating the sidecar (pre-round-7) fails closed too —
+    its birth config is unknowable, same policy as manifests missing
+    n_buckets."""
+    import json
+
+    cfg = _session_config(gap_sec, timeout_sec)
+    path = os.path.join(out_dir, "_session_checkpoint_config.json")
+    ckpt = os.path.join(out_dir, "_session_checkpoint")
+    if os.path.isfile(path):
+        with open(path) as fh:
+            born = json.load(fh)
+        if born != cfg:
+            drift = sorted(
+                k for k in set(born) | set(cfg) if born.get(k) != cfg.get(k)
+            )
+            raise ValueError(
+                f"sessionize_stream config drift vs checkpoint birth in "
+                f"{out_dir}: {', '.join(f'{k}: {born.get(k)!r} -> {cfg.get(k)!r}' for k in drift)}. "
+                f"The streaming state store was built under the original "
+                f"config; restarting with a different gap_sec/timeout_sec/"
+                f"schema changes watermark and eviction semantics for "
+                f"restored keys. Use a NEW out_dir (replay the source — "
+                f"availableNow plus idempotent sinks makes that safe) or "
+                f"restore the original config."
+            )
+        return
+    if os.path.isdir(ckpt):
+        raise ValueError(
+            f"existing _session_checkpoint in {out_dir} has no config "
+            f"sidecar (created by a pre-fingerprint build); its birth "
+            f"config is unknowable, refusing to guess. Use a new out_dir."
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(cfg, fh)
+    os.replace(tmp, path)
+
 
 def _sessionize_chunk(
     ts_ns_chunks: list,
@@ -712,20 +781,25 @@ def sessionize_stream(
     applied, state is bounded by #distinct users per drain, and
     open_sessions() is the flush path.
 
-    CHOOSE timeout_sec AT CHECKPOINT BIRTH (round-6 review #6):
-    toggling it against an existing _session_checkpoint changes the
-    GroupStateTimeout mode and injects a watermark into a restored
-    stateful plan — a restart-incompatible change — and even where a
-    restart proceeds, keys restored from the no-timeout era carry no
-    timeout timestamp (it is armed on state.update, i.e. only for keys
-    that receive data), so legacy idle users would sit in state
-    forever. Enabling eviction on a long-lived deployment means a new
+    CHOOSE timeout_sec AT CHECKPOINT BIRTH — ENFORCED (round-7, verdict
+    next #2): toggling it against an existing _session_checkpoint
+    changes the GroupStateTimeout mode and injects a watermark into a
+    restored stateful plan — a restart-incompatible change — and even
+    where a restart proceeds, keys restored from the no-timeout era
+    carry no timeout timestamp (it is armed on state.update, i.e. only
+    for keys that receive data), so legacy idle users would sit in
+    state forever. The first run persists {gap_sec, timeout_sec, schema
+    rev} next to the checkpoint; a restart whose config differs raises
+    ValueError before the stream starts (see _guard_session_config).
+    Enabling eviction on a long-lived deployment means a new
     out_dir/checkpoint (replaying the source, which availableNow plus
     idempotent sinks makes safe).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    _guard_session_config(out_dir, gap_sec, timeout_sec)
 
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)

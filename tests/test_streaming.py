@@ -84,6 +84,60 @@ def test_stateful_sessionize_across_waves(spark, tmp_path):
     assert got2[1]["session_end"] - got2[1]["session_start"] == 300.0  # 5 min
 
 
+def test_sessionize_config_fingerprint_guards_checkpoint(spark, tmp_path):
+    """Round-7 (verdict next #2): the sessionizer's config is chosen at
+    checkpoint birth and ENFORCED — restarting an existing
+    _session_checkpoint with a different timeout_sec or gap_sec must
+    fail fast with a clear error (before the stream starts, so the
+    state store is never touched), not silently change watermark and
+    eviction semantics for restored keys. Same-config restarts keep
+    working; a pre-fingerprint checkpoint (no sidecar) fails closed."""
+    import datetime as dt
+    import os
+
+    import pytest
+
+    from pdfredact_spark.streaming import sessionize_stream
+
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "sess")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(1, t0, 1), (2, t0 + dt.timedelta(minutes=5), 1)]
+    spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, user_id long") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    sessionize_stream(spark, in_dir, out_dir, gap_sec=1800)
+    sidecar = os.path.join(out_dir, "_session_checkpoint_config.json")
+    assert os.path.isfile(sidecar)
+    n_sessions = len(spark.read.parquet(out_dir + "/sessions").collect())
+
+    # toggling timeout_sec against the live checkpoint: hard fail
+    with pytest.raises(ValueError, match="timeout_sec.*None.*900"):
+        sessionize_stream(spark, in_dir, out_dir, gap_sec=1800,
+                          timeout_sec=900)
+    # changing gap_sec: hard fail too (merge semantics drift)
+    with pytest.raises(ValueError, match="gap_sec"):
+        sessionize_stream(spark, in_dir, out_dir, gap_sec=60)
+    # neither failed attempt touched checkpoint or output
+    assert len(spark.read.parquet(out_dir + "/sessions").collect()) == n_sessions
+
+    # the SAME config restarts fine (no new data: no new sessions)
+    sessionize_stream(spark, in_dir, out_dir, gap_sec=1800)
+    assert len(spark.read.parquet(out_dir + "/sessions").collect()) == n_sessions
+
+    # a checkpoint predating the sidecar fails closed
+    os.remove(sidecar)
+    with pytest.raises(ValueError, match="no config sidecar"):
+        sessionize_stream(spark, in_dir, out_dir, gap_sec=1800)
+
+    # a fresh out_dir is free to pick eviction from birth
+    out2 = str(tmp_path / "sess2")
+    sessionize_stream(spark, in_dir, out2, gap_sec=1800, timeout_sec=900)
+    import json
+
+    born = json.load(open(os.path.join(out2, "_session_checkpoint_config.json")))
+    assert born["timeout_sec"] == 900.0 and born["gap_sec"] == 1800.0
+
+
 def test_sessionize_late_and_null_events(spark, tmp_path):
     """Round-4 review: a later wave can carry timestamps BEHIND the
     restored state. A late event within gap_sec of the open session's
