@@ -98,6 +98,54 @@ def _config_fingerprint(rules: list[Rule], flatten: bool, n_buckets: int) -> str
     return hashlib.md5(payload.encode()).hexdigest()
 
 
+def guard_stream_config(
+    out_dir: str, checkpoint_name: str, config: dict, operator: str
+) -> None:
+    """Config-at-checkpoint-birth guard for streaming operators (round-7,
+    verdict next #2) — the streaming twin of _config_fingerprint: the
+    first run persists the operator's semantic config as a JSON sidecar
+    next to its checkpoint dir; every restart compares and hard-fails on
+    ANY drift (a restored state store was built under the birth config;
+    running it under another silently changes watermark/eviction/merge
+    semantics for restored keys). A checkpoint that predates the sidecar
+    fails closed — its birth config is unknowable, the same policy as
+    manifests missing n_buckets."""
+    path = os.path.join(out_dir, f"{checkpoint_name}_config.json")
+    ckpt = os.path.join(out_dir, checkpoint_name)
+    if os.path.isfile(path):
+        with open(path) as fh:
+            born = json.load(fh)
+        if born != config:
+            drift = sorted(
+                k for k in set(born) | set(config)
+                if born.get(k) != config.get(k)
+            )
+            detail = ", ".join(
+                f"{k}: {born.get(k)!r} -> {config.get(k)!r}" for k in drift
+            )
+            raise ValueError(
+                f"{operator} config drift vs checkpoint birth in "
+                f"{out_dir}: {detail}. The streaming state store was "
+                f"built under the original config; restarting with a "
+                f"different one changes semantics for restored keys. Use "
+                f"a NEW out_dir (replay the source — availableNow plus "
+                f"idempotent sinks makes that safe) or restore the "
+                f"original config."
+            )
+        return
+    if os.path.isdir(ckpt):
+        raise ValueError(
+            f"existing {checkpoint_name} in {out_dir} has no config "
+            f"sidecar (created by a pre-fingerprint build); its birth "
+            f"config is unknowable, refusing to guess. Use a new out_dir."
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(config, fh)
+    os.replace(tmp, path)
+
+
 def _commit(out_dir: str, batch_id: int, manifest: dict) -> None:
     cdir = _commit_dir(out_dir)
     os.makedirs(cdir, exist_ok=True)

@@ -193,6 +193,7 @@ def compact_ledger(
     storage: LedgerStorage = LOCAL_LEDGER_STORAGE,
     lease_ttl_sec: float | None = None,
     lease_owner: str | None = None,
+    _hold_lease_sec: float = 0.0,
 ) -> dict | None:
     """Fold every delta segment plus the previous compacted generation
     into generation G+1 under out_dir/ledger_compacted/gen=G+1/pfx=x<k
@@ -238,7 +239,13 @@ def compact_ledger(
     indistinguishable by return value from nothing-to-compact, by
     design: both mean "the ledger is (being brought) up to date, you
     wrote nothing"; callers needing to know whether THEY compacted
-    should compare the returned gen to the meta they read before."""
+    should compare the returned meta's `compacted_by` (the winning
+    lease owner, written into every generation's meta) or gen against
+    what they read before. _hold_lease_sec is a drive/test hook
+    (precedent: _connected_components' _kill_after_rounds): sleep that
+    long AFTER acquiring the lease, BEFORE folding, so a verify drive
+    can park a live holder and prove a second real driver process gets
+    excluded (tools/verify_drive.py flow 10)."""
     join = storage.join
     if lease_ttl_sec is not None:
         if lease_owner is None:
@@ -253,9 +260,13 @@ def compact_ledger(
         if not storage.try_acquire_lease(lease, lease_owner, lease_ttl_sec):
             return _read_ledger_meta(out_dir, storage)  # another compactor runs
         try:
+            if _hold_lease_sec:
+                import time
+
+                time.sleep(_hold_lease_sec)
             return compact_ledger(
                 spark, out_dir, target_rows_per_prefix, storage,
-                lease_ttl_sec=None,
+                lease_ttl_sec=None, lease_owner=lease_owner,
             )
         finally:
             storage.release_lease(lease, lease_owner)
@@ -308,7 +319,15 @@ def compact_ledger(
         )
     finally:
         merged.unpersist()
-    _write_ledger_meta(out_dir, {"gen": gen, "prefix_len": k, "n_rows": total}, storage)
+    # compacted_by records the winning lease owner (None for unleased
+    # callers) — provenance for operators and the flow-10 race drive
+    new_meta = {
+        "gen": gen,
+        "prefix_len": k,
+        "n_rows": total,
+        "compacted_by": lease_owner,
+    }
+    _write_ledger_meta(out_dir, new_meta, storage)
     folded = set(delta_dirs)
     for d in all_delta_dirs:
         # folded dirs are absorbed — delete unconditionally; dirs that
@@ -320,7 +339,7 @@ def compact_ledger(
     for g in storage.list_dirs(join(comp_root, "gen=*")):
         if not g.rstrip("/").endswith(f"gen={gen}"):
             storage.delete_tree(g)
-    return {"gen": gen, "prefix_len": k, "n_rows": total}
+    return new_meta
 
 
 def _compacted_scan(
@@ -382,6 +401,7 @@ def dedup_stream(
     max_prefixes: int = 4096,
     metrics: list | None = None,
     storage: LedgerStorage = LOCAL_LEDGER_STORAGE,
+    lease_ttl_sec: float | None = None,
 ) -> int:
     """Streaming exact dedup over a continuously-ingested documents table:
     each micro-batch keeps one row per content fingerprint (min doc_id —
@@ -408,7 +428,11 @@ def dedup_stream(
     on a schedule; the availableNow shape compacts after each drain once
     compact_every delta segments exist. Pass metrics=[] to receive one
     dict per micro-batch with the compacted bytes/prefixes actually
-    read. Returns the number of micro-batches executed.
+    read. lease_ttl_sec (round-7, verdict next #4) guards that trailing
+    compaction with the storage-level compactor lease — pass it whenever
+    more than one dedup_stream driver may drain the same out_dir (a
+    blocked compaction is skipped, the next drain retries). Returns the
+    number of micro-batches executed.
     """
     from pyspark.sql.window import Window
 
@@ -540,7 +564,8 @@ def dedup_stream(
     if compact_every is not None:
         n_deltas = len(storage.list_dirs(storage.join(ledger_dir, "batch=*")))
         if n_deltas >= compact_every:
-            compact_ledger(spark, out_dir, target_rows_per_prefix, storage)
+            compact_ledger(spark, out_dir, target_rows_per_prefix, storage,
+                           lease_ttl_sec=lease_ttl_sec)
     return n_batches["n"]
 
 
@@ -591,53 +616,25 @@ def _guard_session_config(
     out_dir: str, gap_sec: float, timeout_sec: float | None
 ) -> None:
     """Enforce "choose the sessionizer config at checkpoint birth"
-    (round-6 verdict, next-round #2) the same way checkpoint.py's
-    _config_fingerprint guards batch resume: the first run persists
-    {gap_sec, timeout_sec, schema rev} as a sidecar next to
-    _session_checkpoint; every restart compares and HARD-FAILS on drift.
-    Toggling timeout_sec against a live checkpoint changes the
-    GroupStateTimeout mode and injects/removes a watermark in a restored
-    stateful plan (keys from the no-timeout era carry no timeout
-    timestamp, so legacy idle users would sit in state forever);
-    changing gap_sec silently changes which events merge into restored
-    open sessions. Both now fail fast with the remedy in the message.
-    A checkpoint predating the sidecar (pre-round-7) fails closed too —
-    its birth config is unknowable, same policy as manifests missing
-    n_buckets."""
-    import json
+    (round-6 verdict, next-round #2): the first run persists {gap_sec,
+    timeout_sec, schema rev} as a sidecar next to _session_checkpoint;
+    every restart compares and HARD-FAILS on drift. Toggling timeout_sec
+    against a live checkpoint changes the GroupStateTimeout mode and
+    injects/removes a watermark in a restored stateful plan (keys from
+    the no-timeout era carry no timeout timestamp, so legacy idle users
+    would sit in state forever); changing gap_sec silently changes which
+    events merge into restored open sessions. Both now fail fast with
+    the remedy in the message. The filesystem mechanics live in
+    checkpoint.guard_stream_config (this module's FS I/O is restricted
+    to LedgerStorage by test)."""
+    from pdfredact_spark.checkpoint import guard_stream_config
 
-    cfg = _session_config(gap_sec, timeout_sec)
-    path = os.path.join(out_dir, "_session_checkpoint_config.json")
-    ckpt = os.path.join(out_dir, "_session_checkpoint")
-    if os.path.isfile(path):
-        with open(path) as fh:
-            born = json.load(fh)
-        if born != cfg:
-            drift = sorted(
-                k for k in set(born) | set(cfg) if born.get(k) != cfg.get(k)
-            )
-            raise ValueError(
-                f"sessionize_stream config drift vs checkpoint birth in "
-                f"{out_dir}: {', '.join(f'{k}: {born.get(k)!r} -> {cfg.get(k)!r}' for k in drift)}. "
-                f"The streaming state store was built under the original "
-                f"config; restarting with a different gap_sec/timeout_sec/"
-                f"schema changes watermark and eviction semantics for "
-                f"restored keys. Use a NEW out_dir (replay the source — "
-                f"availableNow plus idempotent sinks makes that safe) or "
-                f"restore the original config."
-            )
-        return
-    if os.path.isdir(ckpt):
-        raise ValueError(
-            f"existing _session_checkpoint in {out_dir} has no config "
-            f"sidecar (created by a pre-fingerprint build); its birth "
-            f"config is unknowable, refusing to guess. Use a new out_dir."
-        )
-    os.makedirs(out_dir, exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(cfg, fh)
-    os.replace(tmp, path)
+    guard_stream_config(
+        out_dir,
+        "_session_checkpoint",
+        _session_config(gap_sec, timeout_sec),
+        operator="sessionize_stream",
+    )
 
 
 def _sessionize_chunk(

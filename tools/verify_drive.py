@@ -3,7 +3,8 @@ skill + flow 6, the streaming sessionizer parity drive (round-3 verdict
 #6) + flow 7, the compacting dedup ledger drive (round 5) + flow 8, the
 kill-mid-CC resume drive over PDFREDACT_CC_WORKDIR (round 6) + flow 9,
 a REAL SIGKILL of a separate driver process resumed by a fresh one
-(round 6)).
+(round 6) + flow 10, a concurrent-compactor lease race between two real
+driver processes on both storage backends (round 7)).
 
 Run (from a cwd outside /root/repo so the zip, not the checkout, is
 imported):
@@ -201,7 +202,8 @@ for wv in dd_waves:
     # system-under-test call OUTSIDE the assert: with PYTHONOPTIMIZE the
     # assert is stripped and flow 7 would silently never run
     n_dd = dedup_stream(spark, dd_in, dd_out, compact_every=1,
-                        target_rows_per_prefix=4, metrics=wave_m)
+                        target_rows_per_prefix=4, metrics=wave_m,
+                        lease_ttl_sec=600)  # round-7: leased at the surface
     assert n_dd >= 1
     dd_metrics.append(wave_m)
 dd_got = {r["text"]: r["doc_id"]
@@ -346,6 +348,106 @@ for f, m in pre_kill.items():
 n9 = spark.read.parquet(out9 + "/data").select("doc_id").distinct().count()
 assert n9 == 48, n9
 print("FLOW9 resumed to", n9, "docs; pre-kill manifests untouched")
+
+# ---- flow 10 (round 7): concurrent-compactor race, both backends ------
+# Two REAL driver processes race to compact the same ledger under the
+# storage-level lease. Driver A acquires and PARKS on the lease
+# (_hold_lease_sec) before folding; the parent waits for the lease key
+# to exist, then launches driver B — so B is guaranteed to meet a live
+# foreign holder (or, at worst under extreme scheduling delay, the
+# already-folded ledger). Exactly ONE fold must happen (meta gen 0,
+# compacted_by == A's owner), B must no-op, and the ledger content must
+# be intact. The in-process CAS/O_EXCL atomicity is pinned by unit
+# tests; this flow proves the PROTOCOL across process boundaries at the
+# north rule's spark-submit run mode, on both storage backends.
+from pdfredact_spark.catalog import LOCAL_LEDGER_STORAGE, ObjectStoreLedgerStorage
+
+_compactor_code = r"""
+import json, sys
+from pdfredact_spark.catalog import LOCAL_LEDGER_STORAGE, ObjectStoreLedgerStorage
+from pdfredact_spark.session import get_spark
+from pdfredact_spark.streaming import _read_ledger_meta, compact_ledger
+
+out_dir, backend, owner, hold = sys.argv[1], sys.argv[2], sys.argv[3], float(sys.argv[4])
+st = LOCAL_LEDGER_STORAGE if backend == "posix" else ObjectStoreLedgerStorage()
+spark = get_spark(master="local[2]", app_name=f"compactor-{owner}",
+                  shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+ret = compact_ledger(spark, out_dir, target_rows_per_prefix=4, storage=st,
+                     lease_ttl_sec=600, lease_owner=owner,
+                     _hold_lease_sec=hold)
+final = _read_ledger_meta(out_dir, st)
+print("COMPACTOR-RESULT " + json.dumps({
+    "owner": owner,
+    "ret": ret,
+    "i_folded": bool(final) and final.get("compacted_by") == owner,
+}), flush=True)
+spark.stop()
+"""
+
+for backend in ("posix", "objectstore"):
+    st10 = LOCAL_LEDGER_STORAGE if backend == "posix" else ObjectStoreLedgerStorage()
+    in10 = os.path.join(out_root, f"dd10_in_{backend}")
+    dd10 = os.path.join(out_root, f"dd10_{backend}")
+    for wv in ([(1, "r7-a"), (2, "r7-b")], [(3, "r7-b"), (4, "r7-c")]):
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in wv], dd_schema
+        ).coalesce(1).write.mode("append").parquet(in10)
+        dedup_stream(spark, in10, dd10, storage=st10)  # deltas only, no compact
+    assert _read_ledger_meta(dd10, st10) is None
+    lease10 = os.path.join(dd10, "compaction.lease")
+
+    def _compactor(owner: str, hold: float) -> "subprocess.Popen":
+        log = open(os.path.join(out_root, f"flow10-{backend}-{owner}.log"), "w")
+        return subprocess.Popen(
+            [sys.executable, "-c", _compactor_code, dd10, backend, owner,
+             str(hold)],
+            env=env9, stdout=log, stderr=subprocess.STDOUT,
+            start_new_session=True,
+        )
+
+    child_a = _compactor("racer-A", 30.0)
+    # wait until A actually HOLDS the lease (the lease key exists on
+    # disk for both backends — the object store's keys are files here)
+    deadline10 = _time.time() + 240
+    while _time.time() < deadline10 and not os.path.isfile(lease10):
+        if child_a.poll() is not None:
+            raise AssertionError(
+                f"flow 10 ({backend}): racer-A exited rc={child_a.returncode} "
+                f"before acquiring the lease")
+        _time.sleep(0.2)
+    assert os.path.isfile(lease10), f"flow 10 ({backend}): lease never appeared"
+    child_b = _compactor("racer-B", 0.0)
+    reports = {}
+    for ch, name in ((child_b, "racer-B"), (child_a, "racer-A")):
+        rc = ch.wait(timeout=240)
+        log_path = os.path.join(out_root, f"flow10-{backend}-{name}.log")
+        with open(log_path) as fh:
+            body = fh.read()
+        assert rc == 0, f"flow 10 ({backend}) {name} rc={rc}:\n{body[-2000:]}"
+        line = [l for l in body.splitlines() if l.startswith("COMPACTOR-RESULT ")]
+        assert line, f"flow 10 ({backend}) {name} printed no result:\n{body[-2000:]}"
+        reports[name] = json.loads(line[-1][len("COMPACTOR-RESULT "):])
+    assert reports["racer-A"]["i_folded"], reports
+    assert not reports["racer-B"]["i_folded"], reports
+    meta10 = _read_ledger_meta(dd10, st10)
+    assert meta10 is not None and meta10["gen"] == 0, meta10  # exactly one fold
+    assert meta10["compacted_by"] == "racer-A", meta10
+    assert meta10["n_rows"] == 3, meta10
+    # ledger intact after the race: fps match data, deltas absorbed
+    got10 = {r["text"]: r["doc_id"]
+             for r in spark.read.parquet(dd10 + "/data").collect()}
+    assert got10 == {"r7-a": 1, "r7-b": 2, "r7-c": 4}, got10
+    assert not [
+        d for d in st10.list_dirs(os.path.join(dd10, "ledger", "batch=*"))
+        if st10.has_parquet(d)
+    ], "deltas not absorbed"
+    # B met a live holder (blocked: ret is the pre-fold meta, None here)
+    # unless extreme scheduling pushed it past A's fold — report which
+    b_path = "blocked-during-hold" if reports["racer-B"]["ret"] is None \
+        else "post-fold-no-op"
+    print(f"FLOW10 [{backend}] lease race: one winner (racer-A), "
+          f"racer-B {b_path}, ledger intact")
 
 print("VERIFY-DRIVE-OK")
 spark.stop()
