@@ -249,9 +249,125 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     return times
 
 
+def _one_run(sf_dir: str, cpus: int, sf: float, tmp: str, corpus_path: str,
+             n_docs: int) -> dict:
+    """One full measured run: pre-probe gate, both redaction legs, a
+    mid probe, the headline queries, and the closing certification
+    probe. Returns the complete result dict (contended=True iff the
+    pre-probe never quieted OR the mid/post probes show the window
+    went noisy during the run)."""
+    # Gate the whole run on a quiet host window BEFORE any timing
+    # (round-5 verdict #1): retry the probe while contended, and if
+    # the window never quiets, still emit — flagged contended=True.
+    quota_probe, contended = _probe_until_quiet()
+    t_run0 = time.perf_counter()
+
+    # N=2 vs 4N=8 (north rule: "N and 4N cores"). This VM advertises 32
+    # CPUs but a host-side quota caps pure-CPU scaling (measured with a
+    # plain multiprocessing burn: 8->32 workers gives 2.9x, 4->16 gives
+    # 3.4x, 2->8 gives 3.9x). 2/8 is the pair where 4x more cores are
+    # genuinely available, so it measures OUR scaling, not the quota's.
+    # BENCH/BASELINE.md reports the other pairs for transparency. The
+    # probe (measured above, pre-gated on a quiet window) ships in
+    # the JSON so the pair substitution is self-defending.
+    # best-of-2 on BOTH legs: host contention transients (observed 11s
+    # vs 25s minutes apart with an idle quota probe in between) must
+    # not bias the efficiency ratio in either direction — min() on one
+    # leg only would let noise push the metric up but never down.
+    t_low, c_low = run_redaction("local[2]", corpus_path, os.path.join(tmp, "outlow"), 4)
+    t_low2, c_low2 = run_redaction("local[2]", corpus_path, os.path.join(tmp, "outlow2"), 4)
+    t_low = min(t_low, t_low2)
+    t_high, c_high = run_redaction("local[8]", corpus_path, os.path.join(tmp, "outhigh"), 16)
+    t_high2, c_high2 = run_redaction("local[8]", corpus_path, os.path.join(tmp, "outhigh2"), 16)
+    t_high = min(t_high, t_high2)
+    assert c_low == c_low2 == c_high == c_high2 == n_docs, (c_low, c_high, n_docs)
+    tput_low = n_docs / t_low
+    tput_high = n_docs / t_high
+    eff = tput_high / (4 * tput_low)
+
+    # MID-run probe between the redaction phase and the query phase:
+    # endpoint probes alone certified a run whose middle was provably
+    # contended (round-7: a concurrent local[32] soak finished before
+    # the post probe — pre 1.02 / post 1.021 yet every timing ~1.7x
+    # slow and eff 0.726). Three samples bracket both phases; a burst
+    # confined to one phase now has a probe on each side of it. Settle
+    # first — the redaction legs' JVMs just stopped (see post probe).
+    time.sleep(15)
+    mid_probe = _cpu_quota_probe()
+    contended = contended or mid_probe["eff_2_to_8"] < PROBE_TRUST_BAR
+
+    qtimes = run_queries(sf_dir, cpus)
+
+    # closing probe: a window that WENT noisy mid-run is as untrusted
+    # as one that started noisy — flag it, don't hide it. Settle
+    # first: probing immediately after spark.stop() measures OUR
+    # dying JVM's shutdown/GC tail, not the host (observed: pre
+    # 0.96-1.07 but post 0.73-0.92 across three otherwise-quiet
+    # runs; with the settle the post probe matches the pre).
+    time.sleep(15)
+    post_probe = _cpu_quota_probe()
+    contended = contended or post_probe["eff_2_to_8"] < PROBE_TRUST_BAR
+    run_wall_sec = time.perf_counter() - t_run0
+
+    total = round(t_low + t_high + sum(qtimes.values()), 3)
+    return {
+        "metric": "redaction docs/sec at N and 4N parallelism + headline operator latencies",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "redaction": {
+            "n_docs": n_docs,
+            "cores_low": 2,
+            "cores_high": 8,
+            "sec_low": round(t_low, 3),
+            "sec_high": round(t_high, 3),
+            "docs_per_sec_low": round(tput_low, 1),
+            "docs_per_sec_high": round(tput_high, 1),
+            "scaling_efficiency": round(eff, 3),
+        },
+        # Why the scaling pair is 2-vs-8 cores rather than 8-vs-32: the
+        # probe shows how much CPU the host grants at each width. When
+        # eff_8_to_32 is well under 1.0 the wider pair measures the
+        # host quota, not this engine's plan. Pre-probe gates the run
+        # (retries while < PROBE_TRUST_BAR); mid-probe brackets the
+        # redaction/query phase boundary; post-probe certifies the
+        # window stayed quiet to the end; contended=True means DISCARD
+        # the timings per the repo's noise discipline.
+        "cpu_quota_probe": quota_probe,
+        "cpu_quota_probe_mid": mid_probe,
+        "cpu_quota_probe_post": post_probe,
+        "contended": contended,
+        "run_wall_sec": round(run_wall_sec, 1),
+    }
+
+
+def pick_result(runs: list[dict]) -> dict:
+    """Select the artifact to emit from a session's attempts: the FIRST
+    certified (contended=False) run — first, not best-of, so certification
+    never cherry-picks timings — else the least-contended run (max over
+    the minimum of its pre/mid/post probe efficiencies), still flagged.
+    Pure function so the selection policy is unit-testable without a
+    2-minute run."""
+    for r in runs:
+        if not r["contended"]:
+            return r
+
+    def score(r: dict) -> float:
+        keys = ("cpu_quota_probe", "cpu_quota_probe_mid", "cpu_quota_probe_post")
+        return min(r[k]["eff_2_to_8"] for k in keys if k in r)
+
+    return max(runs, key=score)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # An inherited CC workdir would let a RETRIED attempt reuse attempt
+    # 1's materialized CC rounds (fingerprint match -> reuse) and time
+    # the cluster queries faster than they run cold — the certified-run
+    # retry loop must time identical work every attempt.
+    os.environ.pop("PDFREDACT_CC_WORKDIR", None)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     tmp = tempfile.mkdtemp(prefix="pdfredact-bench-")
@@ -261,79 +377,40 @@ def main() -> None:
     try:
         from pdfredact_spark.session import get_spark
 
-        # Gate the whole run on a quiet host window BEFORE any timing
-        # (round-5 verdict #1): retry the probe while contended, and if
-        # the window never quiets, still emit — flagged contended=True.
-        quota_probe, contended = _probe_until_quiet()
-
+        # corpus is deterministic — generate once, reuse across attempts
         gen_spark = get_spark(master=f"local[{cpus}]", app_name="bench-gen")
         gen_spark.sparkContext.setLogLevel("ERROR")
         corpus_to_parquet(gen_spark, n_docs, corpus_path)
         gen_spark.stop()
 
-        # N=2 vs 4N=8 (north rule: "N and 4N cores"). This VM advertises 32
-        # CPUs but a host-side quota caps pure-CPU scaling (measured with a
-        # plain multiprocessing burn: 8->32 workers gives 2.9x, 4->16 gives
-        # 3.4x, 2->8 gives 3.9x). 2/8 is the pair where 4x more cores are
-        # genuinely available, so it measures OUR scaling, not the quota's.
-        # BENCH/BASELINE.md reports the other pairs for transparency. The
-        # probe (measured above, pre-gated on a quiet window) ships in
-        # the JSON so the pair substitution is self-defending.
-        # best-of-2 on BOTH legs: host contention transients (observed 11s
-        # vs 25s minutes apart with an idle quota probe in between) must
-        # not bias the efficiency ratio in either direction — min() on one
-        # leg only would let noise push the metric up but never down.
-        t_low, c_low = run_redaction("local[2]", corpus_path, os.path.join(tmp, "outlow"), 4)
-        t_low2, c_low2 = run_redaction("local[2]", corpus_path, os.path.join(tmp, "outlow2"), 4)
-        t_low = min(t_low, t_low2)
-        t_high, c_high = run_redaction("local[8]", corpus_path, os.path.join(tmp, "outhigh"), 16)
-        t_high2, c_high2 = run_redaction("local[8]", corpus_path, os.path.join(tmp, "outhigh2"), 16)
-        t_high = min(t_high, t_high2)
-        assert c_low == c_low2 == c_high == c_high2 == n_docs, (c_low, c_high, n_docs)
-        tput_low = n_docs / t_low
-        tput_high = n_docs / t_high
-        eff = tput_high / (4 * tput_low)
-
-        qtimes = run_queries(sf_dir, cpus)
-
-        # closing probe: a window that WENT noisy mid-run is as untrusted
-        # as one that started noisy — flag it, don't hide it. Settle
-        # first: probing immediately after spark.stop() measures OUR
-        # dying JVM's shutdown/GC tail, not the host (observed: pre
-        # 0.96-1.07 but post 0.73-0.92 across three otherwise-quiet
-        # runs; with the settle the post probe matches the pre).
-        time.sleep(15)
-        post_probe = _cpu_quota_probe()
-        contended = contended or post_probe["eff_2_to_8"] < PROBE_TRUST_BAR
-
-        total = round(t_low + t_high + sum(qtimes.values()), 3)
-        result = {
-            "metric": "redaction docs/sec at N and 4N parallelism + headline operator latencies",
-            "value": total,
-            "unit": "sec",
-            "queries": qtimes,
-            "sf": sf,
-            "redaction": {
-                "n_docs": n_docs,
-                "cores_low": 2,
-                "cores_high": 8,
-                "sec_low": round(t_low, 3),
-                "sec_high": round(t_high, 3),
-                "docs_per_sec_low": round(tput_low, 1),
-                "docs_per_sec_high": round(tput_high, 1),
-                "scaling_efficiency": round(eff, 3),
-            },
-            # Why the scaling pair is 2-vs-8 cores rather than 8-vs-32: the
-            # probe shows how much CPU the host grants at each width. When
-            # eff_8_to_32 is well under 1.0 the wider pair measures the
-            # host quota, not this engine's plan. Pre-probe gates the run
-            # (retries while < PROBE_TRUST_BAR); post-probe certifies the
-            # window stayed quiet; contended=True means DISCARD the
-            # timings per the repo's noise discipline.
-            "cpu_quota_probe": quota_probe,
-            "cpu_quota_probe_post": post_probe,
-            "contended": contended,
-        }
+        # Round-7 (verdict next #1): the COMMITTED artifact must be a
+        # certified run whenever one happens in the session. Round 6's
+        # gate flagged its run honestly (contended=true) but the commit
+        # step kept that flagged run even though a certified one existed
+        # in the journal. Now the retry lives HERE: re-run the whole
+        # measurement (bounded attempts) until a run certifies
+        # (contended=false, i.e. pre AND post probe >= PROBE_TRUST_BAR),
+        # and emit the FIRST certified run; only if every attempt stays
+        # contended, emit the least-contended one, still flagged.
+        attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+        runs: list[dict] = []
+        for i in range(attempts):
+            r = _one_run(sf_dir, cpus, sf, tmp, corpus_path, n_docs)
+            r["run_attempt"] = i + 1
+            runs.append(r)
+            if not r["contended"]:
+                break
+            print(
+                f"bench: run {i + 1}/{attempts} contended "
+                f"(pre {r['cpu_quota_probe']['eff_2_to_8']}, "
+                f"post {r['cpu_quota_probe_post']['eff_2_to_8']})"
+                + ("; re-running" if i + 1 < attempts else "; budget spent"),
+                file=sys.stderr,
+            )
+            if i + 1 < attempts:
+                time.sleep(45)
+        result = pick_result(runs)
+        result["runs_attempted"] = len(runs)
         print(json.dumps(result))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
