@@ -229,6 +229,30 @@ def _probe_until_quiet(attempts: int = 3, wait_s: float = 45.0) -> tuple[dict, b
     return max(probes, key=lambda p: p["eff_2_to_8"]), True
 
 
+def _settled_probe(settle_s: float = 15.0) -> dict:
+    """Mid/post certification probe with ONE re-probe: settle, probe, and
+    if the reading is below the trust bar, settle again and re-probe —
+    the SECOND reading decides. Calibration (round 7, three clean runs):
+    after the redaction phase stops four JVMs in sequence, a single
+    15s-settled probe read 0.95 while the same runs' pre and post probes
+    read 0.97-1.01 — the dip is this process's own shutdown/GC tail, the
+    same artifact the post-probe settle was originally added for, just
+    heavier after four JVMs than after one. Host noise that could have
+    corrupted a ~100s measurement phase persists across the extra settle
+    and still flags; a tail that evaporates in 15s cannot have dominated
+    a phase. Both readings ship in the artifact."""
+    time.sleep(settle_s)
+    p = _cpu_quota_probe()
+    if p["eff_2_to_8"] >= PROBE_TRUST_BAR:
+        return p
+    first = p["eff_2_to_8"]
+    time.sleep(settle_s)
+    p = _cpu_quota_probe()
+    p["first_eff_2_to_8"] = first
+    p["retried"] = True
+    return p
+
+
 def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     from pdfredact_spark.queries import SQL_QUERIES
     from pdfredact_spark.session import get_spark
@@ -290,22 +314,19 @@ def _one_run(sf_dir: str, cpus: int, sf: float, tmp: str, corpus_path: str,
     # contended (round-7: a concurrent local[32] soak finished before
     # the post probe — pre 1.02 / post 1.021 yet every timing ~1.7x
     # slow and eff 0.726). Three samples bracket both phases; a burst
-    # confined to one phase now has a probe on each side of it. Settle
-    # first — the redaction legs' JVMs just stopped (see post probe).
-    time.sleep(15)
-    mid_probe = _cpu_quota_probe()
+    # confined to one phase now has a probe on each side of it.
+    mid_probe = _settled_probe()
     contended = contended or mid_probe["eff_2_to_8"] < PROBE_TRUST_BAR
 
     qtimes = run_queries(sf_dir, cpus)
 
     # closing probe: a window that WENT noisy mid-run is as untrusted
-    # as one that started noisy — flag it, don't hide it. Settle
-    # first: probing immediately after spark.stop() measures OUR
-    # dying JVM's shutdown/GC tail, not the host (observed: pre
-    # 0.96-1.07 but post 0.73-0.92 across three otherwise-quiet
-    # runs; with the settle the post probe matches the pre).
-    time.sleep(15)
-    post_probe = _cpu_quota_probe()
+    # as one that started noisy — flag it, don't hide it. Settled +
+    # one re-probe (see _settled_probe): probing too close to
+    # spark.stop() measures OUR dying JVM's shutdown/GC tail, not the
+    # host (observed: pre 0.96-1.07 but post 0.73-0.92 across three
+    # otherwise-quiet runs; settled, the post probe matches the pre).
+    post_probe = _settled_probe()
     contended = contended or post_probe["eff_2_to_8"] < PROBE_TRUST_BAR
     run_wall_sec = time.perf_counter() - t_run0
 
@@ -403,6 +424,7 @@ def main() -> None:
             print(
                 f"bench: run {i + 1}/{attempts} contended "
                 f"(pre {r['cpu_quota_probe']['eff_2_to_8']}, "
+                f"mid {r['cpu_quota_probe_mid']['eff_2_to_8']}, "
                 f"post {r['cpu_quota_probe_post']['eff_2_to_8']})"
                 + ("; re-running" if i + 1 < attempts else "; budget spent"),
                 file=sys.stderr,
