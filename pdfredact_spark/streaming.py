@@ -186,6 +186,40 @@ def _prefix_len_for(total_rows: int, target_rows_per_prefix: int) -> int:
     return k
 
 
+def _unique_owner(role: str) -> str:
+    """Per-process unique lease owner (ADVICE r6: a shared constant voids
+    release_lease's owner check between two real processes)."""
+    import socket
+    import uuid
+
+    return f"{role}-{socket.gethostname()}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+
+
+def _acquire_lease_blocking(
+    storage: LedgerStorage, path: str, owner: str, ttl_sec: float,
+    wait_sec: float,
+) -> None:
+    """Acquire the compaction/writer lease, waiting out a live holder.
+    Waiting `ttl + margin` outlasts both a live holder that releases on
+    completion and a crashed holder whose lease expires into takeover;
+    past the deadline, fail LOUDLY — a stream writer that proceeded
+    without the lease would reopen the delta-vs-fold race the lease
+    exists to close."""
+    import time
+
+    deadline = time.monotonic() + wait_sec
+    while not storage.try_acquire_lease(path, owner, ttl_sec):
+        if time.monotonic() > deadline:
+            raise RuntimeError(
+                f"could not acquire ledger lease {path} within "
+                f"{wait_sec:.0f}s: a compactor (or another writer) holds "
+                f"it past its ttl. If its process is dead, the lease "
+                f"expires into takeover at ttl; a longer hold means the "
+                f"ttl is undersized for the actual compaction duration."
+            )
+        time.sleep(0.5)
+
+
 def compact_ledger(
     spark: SparkSession,
     out_dir: str,
@@ -225,9 +259,13 @@ def compact_ledger(
     store's conditional-PUT CAS). A second compactor finding a live
     lease returns the current meta untouched; a crashed holder's lease
     is taken over once its ttl passes. Size the ttl safely above the
-    longest expected compaction. The lease does NOT replace the
-    pause-the-trigger rule for stream-vs-compactor — that remains
-    orchestration. lease_owner defaults to a per-process unique id
+    longest expected compaction. Stream-vs-compactor exclusion is also
+    lease-enforced when the stream passes lease_ttl_sec: dedup_stream's
+    micro-batches claim this SAME lease object around their ledger
+    read + delta write, so a live writer excludes a compactor and vice
+    versa (the pause-the-trigger rule stays as guidance only for
+    deployments that opt out of the lease). lease_owner defaults to a
+    per-process unique id
     (ADVICE r6: a shared constant would void release_lease's owner
     check — a holder outrunning its ttl would match a usurper's owner
     string and clobber the usurper's live lease); pass an explicit
@@ -249,13 +287,7 @@ def compact_ledger(
     join = storage.join
     if lease_ttl_sec is not None:
         if lease_owner is None:
-            import socket
-            import uuid
-
-            lease_owner = (
-                f"compactor-{socket.gethostname()}-{os.getpid()}"
-                f"-{uuid.uuid4().hex[:8]}"
-            )
+            lease_owner = _unique_owner("compactor")
         lease = join(out_dir, "compaction.lease")
         if not storage.try_acquire_lease(lease, lease_owner, lease_ttl_sec):
             return _read_ledger_meta(out_dir, storage)  # another compactor runs
@@ -402,6 +434,7 @@ def dedup_stream(
     metrics: list | None = None,
     storage: LedgerStorage = LOCAL_LEDGER_STORAGE,
     lease_ttl_sec: float | None = None,
+    lease_wait_sec: float | None = None,
 ) -> int:
     """Streaming exact dedup over a continuously-ingested documents table:
     each micro-batch keeps one row per content fingerprint (min doc_id —
@@ -428,11 +461,25 @@ def dedup_stream(
     on a schedule; the availableNow shape compacts after each drain once
     compact_every delta segments exist. Pass metrics=[] to receive one
     dict per micro-batch with the compacted bytes/prefixes actually
-    read. lease_ttl_sec (round-7, verdict next #4) guards that trailing
-    compaction with the storage-level compactor lease — pass it whenever
-    more than one dedup_stream driver may drain the same out_dir (a
-    blocked compaction is skipped, the next drain retries). Returns the
-    number of micro-batches executed.
+    read.
+
+    lease_ttl_sec (round 7) puts the WHOLE ledger protocol under the
+    storage-level lease, not just the trailing compaction: each
+    micro-batch acquires out_dir's lease before its ledger read and
+    holds it across its delta write, so a foreign compactor can never
+    list a delta mid-write, fold a partial one, or delete a generation
+    out from under this batch's anti-join scan — the former
+    "pause-the-trigger" single-writer contract, enforced in code. A
+    batch that cannot acquire the lease within lease_wait_sec (default
+    ttl + 30s — long enough to outlast a live compactor that releases
+    on completion AND a crashed one whose lease expires into takeover)
+    fails loudly rather than proceeding unguarded. The trailing
+    compaction still uses non-blocking acquire: blocked means another
+    compactor is already folding, so this drain skips and the next one
+    retries. Pass lease_ttl_sec whenever more than one driver may touch
+    the same out_dir; size the ttl above the longest expected
+    compaction AND micro-batch. Returns the number of micro-batches
+    executed.
     """
     from pyspark.sql.window import Window
 
@@ -440,8 +487,26 @@ def dedup_stream(
     data_dir = os.path.join(out_dir, "data")
     ledger_dir = os.path.join(out_dir, "ledger")
     n_batches = {"n": 0}
+    # Writer and compactor contend on the SAME lease object — that is
+    # what makes the exclusion mutual (compact_ledger uses this path).
+    lease_path = storage.join(out_dir, "compaction.lease")
+    writer_owner = _unique_owner("writer") if lease_ttl_sec is not None else None
+    if lease_wait_sec is None and lease_ttl_sec is not None:
+        lease_wait_sec = lease_ttl_sec + 30.0
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if lease_ttl_sec is not None:
+            _acquire_lease_blocking(
+                storage, lease_path, writer_owner, lease_ttl_sec,
+                lease_wait_sec,
+            )
+        try:
+            _process_batch(batch_df, batch_id)
+        finally:
+            if lease_ttl_sec is not None:
+                storage.release_lease(lease_path, writer_owner)
+
+    def _process_batch(batch_df: DataFrame, batch_id: int) -> None:
         w = Window.partitionBy("fp").orderBy("doc_id")
         # NULL text gets the literal fingerprint 'nulltext' (no hex chars
         # beyond a-f would matter — it can never collide with a 32-hex

@@ -1007,3 +1007,49 @@ def test_dedup_stream_five_wave_ledger_soak(spark, tmp_path, ledger_storage):
     got = {r["text"]: r["doc_id"]
            for r in spark.read.parquet(out_dir + "/data").collect()}
     assert got == expected
+
+
+def test_dedup_stream_writer_lease_guards_every_batch(spark, tmp_path,
+                                                      ledger_storage):
+    """Round-7 verdict #4 follow-through: lease_ttl_sec puts the WHOLE
+    ledger protocol under out_dir's lease, not just the trailing
+    compaction. (a) while a foreign holder is live, a micro-batch fails
+    LOUDLY within lease_wait_sec — it never writes a delta unguarded;
+    (b) once the holder releases, the same stream drains, dedups, and
+    leaves the lease free for the next claimant — on both backends."""
+    import os
+
+    import pytest
+
+    from pdfredact_spark.streaming import dedup_stream
+
+    st = ledger_storage
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    in_dir, out_dir = str(tmp_path / "docs"), str(tmp_path / "dd")
+    spark.createDataFrame(
+        [(2, "a", "en", "s", 1), (1, "a", "en", "s", 1), (3, "b", "en", "s", 1)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    os.makedirs(out_dir, exist_ok=True)
+    lease = st.join(out_dir, "compaction.lease")
+    assert st.try_acquire_lease(lease, "foreign-compactor", ttl_sec=3600)
+
+    with pytest.raises(Exception) as ei:
+        dedup_stream(spark, in_dir, out_dir, storage=st,
+                     lease_ttl_sec=3600, lease_wait_sec=2)
+    assert "lease" in str(ei.value), str(ei.value)[:500]
+    # the blocked batch must not have written any ledger delta
+    assert st.list_dirs(st.join(st.join(out_dir, "ledger"), "batch=*")) == []
+    # and must not have clobbered the foreign lease
+    assert not st.try_acquire_lease(lease, "third", ttl_sec=3600)
+
+    st.release_lease(lease, "foreign-compactor")
+    assert dedup_stream(spark, in_dir, out_dir, storage=st,
+                        lease_ttl_sec=3600) >= 1
+    got = {r["text"]: r["doc_id"]
+           for r in spark.read.parquet(out_dir + "/data").collect()}
+    assert got == {"a": 1, "b": 3}
+    # per-batch release: the lease is free again after the drain
+    assert st.try_acquire_lease(lease, "next-claimant", ttl_sec=3600)
+    st.release_lease(lease, "next-claimant")
