@@ -271,3 +271,64 @@ def test_session_parses_local_with_max_failures(spark):
 
     s = get_spark(master="local[4,2]", app_name="parse-probe")
     assert s is spark
+
+
+def test_lease_single_winner_random_model(tmp_path, ledger_storage, monkeypatch):
+    """Model-based check of the lease protocol's ONE invariant (round 7):
+    at any instant there is at most one live holder, and try_acquire's
+    outcome is exactly predicted by a two-field model {owner, expires} —
+    acquire succeeds iff no unexpired lease exists (even the current
+    holder cannot re-acquire its own live lease), release clears only
+    the caller's own record (an expired holder's release must not evict
+    a usurper). Driven as 400 random acquire/release/clock-advance ops
+    per backend under a monotone fake clock (expiry-driven takeover is
+    deterministic in the model, so a divergence pinpoints the op).
+    Complements the targeted CAS/tombstone/torn-lease tests: those pin
+    specific discovered races, this sweeps the whole state space."""
+    import random
+    import time as time_mod
+
+    st = ledger_storage
+    lease = str(tmp_path / "model.lease")
+
+    base = time_mod.time()
+    clock = [base]
+    monkeypatch.setattr(time_mod, "time", lambda: clock[0])
+
+    owners = ["w1", "w2", "c1", "c2"]
+    holder: tuple[str, float] | None = None  # model: (owner, expires)
+
+    def live() -> bool:
+        return holder is not None and holder[1] > clock[0]
+
+    rng = random.Random(0x1EA5E)
+    n_acquires = n_takeovers = 0
+    for step in range(400):
+        op = rng.random()
+        if op < 0.55:
+            owner = rng.choice(owners)
+            ttl = rng.choice([5.0, 50.0])
+            was_stale_record = holder is not None and not live()
+            got = st.try_acquire_lease(lease, owner, ttl_sec=ttl)
+            assert got == (not live()), (
+                step, owner, holder, clock[0] - base, got,
+            )
+            if got:
+                n_acquires += 1
+                n_takeovers += was_stale_record
+                holder = (owner, clock[0] + ttl)
+        elif op < 0.85:
+            owner = rng.choice(owners)
+            st.release_lease(lease, owner)
+            if holder is not None and holder[0] == owner:
+                holder = None  # cleared (or tombstoned: equally claimable)
+        else:
+            clock[0] += rng.choice([1.0, 10.0, 60.0])
+        if live():
+            # the stored record must agree with the model's live holder
+            cur = st.read_json(lease)
+            assert cur is not None and cur["owner"] == holder[0], (
+                step, cur, holder,
+            )
+    # the sweep must have exercised the interesting transitions
+    assert n_acquires >= 50 and n_takeovers >= 5, (n_acquires, n_takeovers)
