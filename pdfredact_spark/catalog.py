@@ -116,60 +116,80 @@ class LedgerStorage:
         return total
 
     # --- compaction lease (round-6: the single-writer contract in code) ---
-    def try_acquire_lease(self, path: str, owner: str, ttl_sec: float) -> bool:
-        """Single-winner lease: create-if-absent wins; an expired lease
-        (holder dead past its ttl — the contract forbids a live holder
-        outrunning it) is taken over. POSIX implementation: O_CREAT |
-        O_EXCL create is the atomic claim; stale takeover is
-        remove-then-retry-create, atomic enough under the ttl contract
-        (two takeover racers serialize on the O_EXCL create). The
-        object-store subclass overrides with a true CAS takeover."""
-        import json
+    def _lease_mutex(self, path: str):
+        """Kernel-enforced mutual exclusion for the lease's OWN
+        read-check-write critical sections: flock(LOCK_EX) on a sibling
+        `<path>.lock` file, released automatically on close AND on
+        process crash (no ttl needed for the mutex itself). Round-7
+        multi-process stress (tools/lease_stress.py, 8 racing processes
+        with simulated crashes) proved the previous lock-free protocol
+        admitted two winners: (a) a stale takeover's unconditional
+        remove-then-recreate let racer C delete racer B's freshly
+        created LIVE lease, and (b) a reader classifying a torn
+        mid-write file as stale could steal a live mid-acquire claim.
+        Under the mutex both windows are gone by construction: a torn
+        lease can only be observed if its creator CRASHED inside the
+        critical section (then stale is the correct verdict), and
+        check-then-remove/create pairs are serialized. flock is
+        advisory and local to one filesystem — exactly this backend's
+        deployment model (driver-visible local/HDFS-fuse path); the
+        network/object-store deployment uses the CAS subclass."""
+        import fcntl
         import os
+        from contextlib import contextmanager
+
+        @contextmanager
+        def held():
+            fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                os.close(fd)  # close releases the flock
+
+        return held()
+
+    def try_acquire_lease(self, path: str, owner: str, ttl_sec: float) -> bool:
+        """Single-winner lease: claim wins iff no unexpired lease exists
+        (an expired lease — holder dead past its ttl, the contract
+        forbids a live holder outrunning it — is taken over). The whole
+        read-check-write runs under the kernel flock mutex (see
+        _lease_mutex), so two takeover racers serialize and a torn file
+        (ADVICE r6: creator crashed mid-write) is safely stale. The
+        object-store subclass overrides with a conditional-PUT CAS."""
         import time
 
-        payload = json.dumps(
-            {"owner": owner, "expires": time.time() + ttl_sec}
-        ).encode()
-        for _attempt in (0, 1):
+        with self._lease_mutex(path):
             try:
-                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-                try:
-                    os.write(fd, payload)
-                finally:
-                    os.close(fd)
-                return True
-            except FileExistsError:
-                try:
-                    cur = self.read_json(path)
-                except ValueError:
-                    # ADVICE r6 (medium): a holder that crashed between the
-                    # O_EXCL create and os.write leaves an empty/torn file;
-                    # json.JSONDecodeError (a ValueError) must mean STALE,
-                    # not wedge every future compaction until hand-removed.
-                    cur = None
-                if cur is not None and cur.get("expires", 0) > time.time():
-                    return False  # live holder
-                try:  # stale (or unreadable torn) lease: clear and retry
-                    os.remove(path)
-                except FileNotFoundError:
-                    pass
-        return False
+                cur = self.read_json(path)
+            except ValueError:
+                cur = None  # torn = creator crashed inside the mutex: stale
+            except FileNotFoundError:
+                cur = None
+            if cur is not None and cur.get("expires", 0) > time.time():
+                return False  # live holder
+            self.write_json_atomic(
+                path, {"owner": owner, "expires": time.time() + ttl_sec}
+            )
+            return True
 
     def release_lease(self, path: str, owner: str) -> None:
         """Release only a lease this owner still holds (a takeover after
-        our expiry must not be clobbered)."""
+        our expiry must not be clobbered). Owner check + remove run
+        under the same mutex as acquire, so the check's verdict cannot
+        rot between read and remove (the round-7 review's TOCTOU)."""
         import os
 
-        try:
-            cur = self.read_json(path)
-        except ValueError:
-            return  # torn lease can't be ours; leave it for stale takeover
-        if cur is not None and cur.get("owner") == owner:
+        with self._lease_mutex(path):
             try:
-                os.remove(path)
-            except FileNotFoundError:
-                pass
+                cur = self.read_json(path)
+            except (ValueError, FileNotFoundError):
+                return  # torn/vanished lease can't be ours
+            if cur is not None and cur.get("owner") == owner:
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
 
 
 LOCAL_LEDGER_STORAGE = LedgerStorage()
@@ -214,11 +234,33 @@ class ObjectStoreLedgerStorage(LedgerStorage):
     directory object ever existed.
     """
 
-    def __init__(self) -> None:
-        import threading
+    def _cas_lock(self, key: str):
+        """The emulated server's linearization point for PUT-IF (a real
+        store's CAS). This must serialize ACROSS PROCESSES, not just
+        threads: the round-7 protocol explicitly runs two real drivers
+        against one out_dir (verify flow 10, leased dedup_stream), and
+        each driver constructs its own backend instance — a
+        threading.Lock (the original implementation) let two processes
+        interleave read-etag/compare/put and both win the lease CAS
+        (caught by tools/lease_stress.py: ENTER-OVERLAP violations).
+        flock on a server-internal `<key>.cas-lock` file is the
+        emulation's stand-in for the store's server-side serialization;
+        like `.put-tmp`, the lock file is invisible to LIST."""
+        import fcntl
+        import os
+        from contextlib import contextmanager
 
-        # server-side linearization point for PUT-IF (a real store's CAS)
-        self._cas_lock = threading.Lock()
+        @contextmanager
+        def held():
+            os.makedirs(os.path.dirname(key), exist_ok=True)
+            fd = os.open(key + ".cas-lock", os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                os.close(fd)
+
+        return held()
 
     # --- the five store primitives (the only filesystem access) --------
     def _list_keys(self, prefix: str):
@@ -235,8 +277,9 @@ class ObjectStoreLedgerStorage(LedgerStorage):
             return
         for dirpath, _dirs, files in os.walk(root):
             for f in sorted(files):
-                if f.endswith(".put-tmp"):
-                    continue  # an incomplete PUT never appears in LIST
+                if f.endswith((".put-tmp", ".cas-lock")):
+                    continue  # incomplete PUTs / server lock internals
+                    # never appear in LIST
                 k = os.path.join(dirpath, f)
                 if k.startswith(prefix):
                     yield k
@@ -264,9 +307,15 @@ class ObjectStoreLedgerStorage(LedgerStorage):
         tmp+rename here is the emulated store's SERVER internals (below
         the primitive line), not the compaction algorithm using rename."""
         import os
+        import uuid
 
         os.makedirs(os.path.dirname(key), exist_ok=True)  # local-FS artifact
-        tmp = key + ".put-tmp"
+        # tmp name must be unique PER PUT: two concurrent PUTs to one key
+        # sharing `<key>.put-tmp` raced each other's os.replace (one PUT
+        # crashed FileNotFoundError — caught by tools/lease_stress.py).
+        # A real store serializes concurrent PUTs server-side; unique
+        # tmps + atomic rename give last-writer-wins, same as S3.
+        tmp = f"{key}.{os.getpid()}-{uuid.uuid4().hex[:8]}.put-tmp"
         with open(tmp, "wb") as fh:
             fh.write(data)
         os.replace(tmp, key)
@@ -292,7 +341,7 @@ class ObjectStoreLedgerStorage(LedgerStorage):
     def put_json_if(self, path: str, obj: dict, expected_etag: str | None) -> None:
         import json
 
-        with self._cas_lock:
+        with self._cas_lock(path):
             cur = self._etag(self._get(path))
             if cur != expected_etag:
                 raise ConditionFailed(

@@ -115,6 +115,18 @@ def guard_stream_config(
     if os.path.isfile(path):
         with open(path) as fh:
             born = json.load(fh)
+        if born != config and not os.path.isdir(ckpt):
+            # Sidecar written but the checkpoint was never born (first
+            # run failed before the stream started — bad source path,
+            # schema error). There is no state store to protect, so a
+            # corrected config must not wedge the out_dir (round-7
+            # review): the CHECKPOINT's birth, not the sidecar's, is
+            # the semantic anchor. Re-stamp and proceed.
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(config, fh)
+            os.replace(tmp, path)
+            return
         if born != config:
             drift = sorted(
                 k for k in set(born) | set(config)

@@ -332,3 +332,52 @@ def test_lease_single_winner_random_model(tmp_path, ledger_storage, monkeypatch)
             )
     # the sweep must have exercised the interesting transitions
     assert n_acquires >= 50 and n_takeovers >= 5, (n_acquires, n_takeovers)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("backend", ["posix", "store"])
+def test_lease_multiprocess_stress_no_double_winner(tmp_path, backend):
+    """Round-7 review: the model sweep above is single-threaded, so it
+    cannot see IMPLEMENTATION races — and the implementation had them.
+    tools/lease_stress.py races 6 real processes on one lease path with
+    simulated holder crashes (no release -> ttl expiry -> takeover) and
+    detects mutual exclusion violations via an owner-tagged token file.
+    Against the pre-fix code this harness caught, within seconds, on
+    BOTH backends: the POSIX stale takeover's unconditional
+    remove-then-recreate deleting a racer's fresh LIVE lease; torn-file
+    reads crashing acquire (FileNotFoundError TOCTOU); the object-store
+    CAS being only thread-atomic (threading.Lock) while the protocol's
+    deployment shape is two driver PROCESSES; and concurrent emulated
+    PUTs to one key destroying each other's shared tmp file. Fixed by
+    kernel-flock'd lease critical sections (POSIX), a cross-process
+    flock CAS linearization point and per-PUT unique tmp names (object
+    store). This test re-runs the harness and asserts zero violations,
+    zero worker crashes, and real contention (liveness floor)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lease = str(tmp_path / "stress.lease")
+    token = str(tmp_path / "token")
+    viol = str(tmp_path / "violations")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(repo, "tools", "lease_stress.py"),
+             backend, lease, token, viol, "3.0", "0.25", "0.4"],
+            cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for _ in range(6)
+    ]
+    wins = 0
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[-2000:]
+        wins += int(out)
+    if os.path.isfile(viol):
+        with open(viol) as fh:
+            raise AssertionError(f"mutual exclusion violated:\n{fh.read()}")
+    # liveness: the protocol made progress under crash-driven takeovers
+    assert wins >= 10, wins

@@ -138,6 +138,39 @@ def test_sessionize_config_fingerprint_guards_checkpoint(spark, tmp_path):
     assert born["timeout_sec"] == 900.0 and born["gap_sec"] == 1800.0
 
 
+def test_stream_config_guard_releases_stillborn_checkpoint(tmp_path):
+    """Round-7 review: a sidecar written by a first run that FAILED
+    before the stream started (no checkpoint dir was ever created) must
+    not wedge the out_dir — there is no state store to protect, so a
+    corrected config re-stamps the sidecar and proceeds. Once the
+    checkpoint exists, drift hard-fails as before."""
+    import json
+    import os
+
+    import pytest
+
+    from pdfredact_spark.checkpoint import guard_stream_config
+
+    out_dir = str(tmp_path / "out")
+    ckpt = os.path.join(out_dir, "_ck")
+    sidecar = os.path.join(out_dir, "_ck_config.json")
+
+    # first attempt stamps the sidecar; the stream then dies before
+    # creating the checkpoint dir (bad source path, schema error)
+    guard_stream_config(out_dir, "_ck", {"gap": 60.0}, operator="op")
+    assert os.path.isfile(sidecar) and not os.path.isdir(ckpt)
+
+    # corrected config on the stillborn out_dir: allowed, re-stamped
+    guard_stream_config(out_dir, "_ck", {"gap": 30.0}, operator="op")
+    assert json.load(open(sidecar)) == {"gap": 30.0}
+
+    # checkpoint born under gap=30: drift now hard-fails, same config ok
+    os.makedirs(ckpt)
+    guard_stream_config(out_dir, "_ck", {"gap": 30.0}, operator="op")
+    with pytest.raises(ValueError, match="config drift"):
+        guard_stream_config(out_dir, "_ck", {"gap": 60.0}, operator="op")
+
+
 def test_sessionize_late_and_null_events(spark, tmp_path):
     """Round-4 review: a later wave can carry timestamps BEHIND the
     restored state. A late event within gap_sec of the open session's

@@ -1,0 +1,124 @@
+"""Multi-PROCESS stress worker for the storage lease protocol.
+
+The round-7 model sweep (tests/test_catalog.py) checks the lease's
+logical invariant single-threaded; this worker checks the
+IMPLEMENTATION's atomicity across real processes — the deployment shape
+(two drivers on one out_dir) that verify-drive flow 10 exercises once,
+hammered thousands of times with adversarial timing:
+
+* N processes spin on ``try_acquire_lease`` for one lease path;
+* a winner marks a token file with its unique owner tag, holds the
+  lease for a few ms (far under the ttl, so a legitimate holder can
+  never be usurped by expiry), verifies the token is STILL its own tag
+  (any other tag = two concurrent winners), clears it, and releases;
+* with probability ``crash_prob`` a winner skips release entirely —
+  the simulated crashed holder — so the stale-takeover path (the race
+  window found by the round-7 review: remove-then-recreate on POSIX,
+  read-etag-then-CAS on the object store) is exercised every ttl.
+
+Any mutual-exclusion violation is appended to a shared violations file
+(O_APPEND, one line per sighting). The paired test asserts the file
+stays empty. Run standalone:
+
+    python tools/lease_stress.py posix /tmp/l.lease /tmp/tok /tmp/viol 3.0
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+
+
+def _log_violation(violations_path: str, msg: str) -> None:
+    fd = os.open(violations_path, os.O_WRONLY | os.O_CREAT | os.O_APPEND)
+    try:
+        os.write(fd, (msg + "\n").encode())
+    finally:
+        os.close(fd)
+
+
+def _read_token(token_path: str) -> bytes:
+    try:
+        with open(token_path, "rb") as fh:
+            return fh.read()
+    except FileNotFoundError:
+        return b""
+
+
+def _write_token(token_path: str, data: bytes) -> None:
+    tmp = f"{token_path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    os.replace(tmp, token_path)
+
+
+def run_worker(
+    backend: str,
+    lease_path: str,
+    token_path: str,
+    violations_path: str,
+    duration_sec: float,
+    ttl_sec: float = 0.3,
+    crash_prob: float = 0.4,
+    seed: int | None = None,
+) -> int:
+    """Returns the number of successful acquisitions (for liveness
+    assertions — a protocol that deadlocks scores 0)."""
+    from pdfredact_spark.catalog import LedgerStorage, ObjectStoreLedgerStorage
+
+    storage = LedgerStorage() if backend == "posix" else ObjectStoreLedgerStorage()
+    rng = random.Random(seed if seed is not None else os.getpid())
+    pid = os.getpid()
+    wins = 0
+    deadline = time.monotonic() + duration_sec
+    i = 0
+    while time.monotonic() < deadline:
+        i += 1
+        owner = f"w{pid}-{i}"
+        if not storage.try_acquire_lease(lease_path, owner, ttl_sec):
+            time.sleep(rng.uniform(0, 0.002))
+            continue
+        wins += 1
+        # --- inside the (claimed) critical section -------------------
+        prev = _read_token(token_path)
+        if prev:
+            _log_violation(
+                violations_path,
+                f"ENTER-OVERLAP {owner} found live token {prev!r}",
+            )
+        tag = owner.encode()
+        _write_token(token_path, tag)
+        time.sleep(rng.uniform(0.001, 0.004))  # hold << ttl
+        now = _read_token(token_path)
+        if now != tag:
+            _log_violation(
+                violations_path,
+                f"TOKEN-STOLEN {owner} wrote {tag!r} read back {now!r}",
+            )
+        _write_token(token_path, b"")
+        # --------------------------------------------------------------
+        if rng.random() < crash_prob:
+            continue  # simulated crash: never release; expiry -> takeover
+        storage.release_lease(lease_path, owner)
+    return wins
+
+
+def main(argv: list[str]) -> None:
+    backend, lease_path, token_path, violations_path, duration = argv[:5]
+    kwargs = {}
+    if len(argv) > 5:
+        kwargs["ttl_sec"] = float(argv[5])
+    if len(argv) > 6:
+        kwargs["crash_prob"] = float(argv[6])
+    wins = run_worker(
+        backend, lease_path, token_path, violations_path, float(duration),
+        **kwargs,
+    )
+    print(wins)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main(sys.argv[1:])
