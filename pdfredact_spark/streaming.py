@@ -220,6 +220,33 @@ def _acquire_lease_blocking(
         time.sleep(0.5)
 
 
+def _verify_lease_still_held(
+    storage: LedgerStorage, path: str, owner: str
+) -> None:
+    """Post-critical-section usurpation check (round-7 review follow-up):
+    a micro-batch that outran lease_ttl_sec is only HARMED if some other
+    holder actually claimed the lease while this batch was still reading
+    the ledger / writing its delta — then the fold-vs-delta interleave
+    the lease exists to prevent may have happened, and releasing
+    silently would bury it. Merely expiring with nobody taking over is
+    harmless (the record still carries our owner). So: still ours (live
+    or expired) -> fine; absent, tombstoned, or another owner -> a
+    foreign holder ran during our batch -> fail LOUDLY so the operator
+    re-sizes the ttl and audits the affected batch instead of trusting
+    a possibly-raced ledger."""
+    cur = storage.read_json(path)
+    if cur is None or cur.get("owner") != owner or cur.get("released"):
+        raise RuntimeError(
+            f"ledger lease {path} was taken over while this micro-batch "
+            f"held it (expected owner {owner}, found "
+            f"{cur and cur.get('owner')!r}): the batch outran "
+            f"lease_ttl_sec and a compactor/writer ran concurrently — "
+            f"its fold may have raced this batch's ledger read or delta "
+            f"write. Increase lease_ttl_sec above the longest micro-batch "
+            f"and audit this batch's output before trusting the ledger."
+        )
+
+
 def compact_ledger(
     spark: SparkSession,
     out_dir: str,
@@ -502,6 +529,11 @@ def dedup_stream(
             )
         try:
             _process_batch(batch_df, batch_id)
+            if lease_ttl_sec is not None:
+                # A batch that outran the ttl AND lost the lease to a
+                # foreign holder may have raced that holder's fold —
+                # surface it loudly instead of releasing silently.
+                _verify_lease_still_held(storage, lease_path, writer_owner)
         finally:
             if lease_ttl_sec is not None:
                 storage.release_lease(lease_path, writer_owner)

@@ -722,6 +722,43 @@ def test_compaction_lease_excludes_second_compactor(spark, tmp_path, ledger_stor
     st.release_lease(lease, "third")
 
 
+def test_writer_lease_usurpation_detected(tmp_path, ledger_storage):
+    """Round-7 review follow-up: a dedup_stream micro-batch that outran
+    lease_ttl_sec and was USURPED mid-batch may have raced the usurper's
+    fold — _verify_lease_still_held must fail loudly in exactly that
+    case, and stay quiet in the harmless ones (still ours, even if the
+    ttl already expired: nobody actually ran concurrently)."""
+    import time as time_mod
+
+    import pytest
+
+    from pdfredact_spark.streaming import _verify_lease_still_held
+
+    st = ledger_storage
+    lease = str(tmp_path / "compaction.lease")
+
+    # still ours and live: quiet
+    assert st.try_acquire_lease(lease, "writer-a", ttl_sec=3600)
+    _verify_lease_still_held(st, lease, "writer-a")
+
+    # ours but EXPIRED with no takeover: harmless, still quiet
+    st.write_json_atomic(
+        lease, {"owner": "writer-a", "expires": time_mod.time() - 10}
+    )
+    _verify_lease_still_held(st, lease, "writer-a")
+
+    # a foreign holder took over the expired lease mid-batch: loud
+    assert st.try_acquire_lease(lease, "compactor-x", ttl_sec=3600)
+    with pytest.raises(RuntimeError, match="taken over"):
+        _verify_lease_still_held(st, lease, "writer-a")
+
+    # released/tombstoned (the usurper finished): still loud — a foreign
+    # holder RAN during our batch either way
+    st.release_lease(lease, "compactor-x")
+    with pytest.raises(RuntimeError, match="taken over"):
+        _verify_lease_still_held(st, lease, "writer-a")
+
+
 def test_lease_torn_file_treated_as_stale(tmp_path, ledger_storage):
     """Round-7 ADVICE (medium): a holder crashing between lease create
     and payload write leaves an empty/torn lease. try_acquire_lease must

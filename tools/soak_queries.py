@@ -41,7 +41,6 @@ than RATIO_CAP x the 1x time (scale-killer tripwire).
 
 from __future__ import annotations
 
-import collections
 import glob
 import json
 import os
@@ -52,6 +51,11 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+# shared event-log extraction + the standing straggler bound (round-7
+# review: three diverging copies of the bound is how bars silently drift)
+from evidence import assert_no_straggler, collect_task_events, stage_stats
 
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BASE_DOCS = 5_000      # sf0.1 documents rows
@@ -212,9 +216,15 @@ def run_pass(spark, sf_dir: str, cc_workdir: str,
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         sec = time.perf_counter() - t0
-        rows = df.count()  # untimed sanity recount (small results)
+        # Sanity recount AFTER re-tagging the job group (round-7 review:
+        # counting inside the query's group attributed the recount's
+        # stages to the graded query, so the dominant-stage straggler
+        # stats could describe the recount execution, not the timed
+        # run). The recount re-executes the plan — accepted cost for
+        # row-count evidence; it is excluded from sec and from grading.
         if use_job_groups:
             spark.sparkContext.setJobGroup("untimed", "untimed", False)
+        rows = df.count()
         out[name] = {"sec": round(sec, 3), "rows": rows}
     return out
 
@@ -223,37 +233,15 @@ def parse_event_log(event_dir: str, app_id: str) -> dict[str, dict]:
     """Per-job-group dominant-stage task-duration stats from the event
     log (same evidence shape as tools/soak_redact.py, but attributed
     per query via spark.jobGroup.id)."""
-    stage_group: dict[int, str] = {}
-    by_stage: dict[int, list] = collections.defaultdict(list)
-    for f in glob.glob(f"{event_dir}/{app_id}*"):
-        for line in open(f):
-            e = json.loads(line)
-            if e["Event"] == "SparkListenerJobStart":
-                grp = (e.get("Properties") or {}).get("spark.jobGroup.id")
-                if grp:
-                    for sid in e.get("Stage IDs", []):
-                        stage_group[sid] = grp
-            elif e["Event"] == "SparkListenerTaskEnd":
-                ti = e["Task Info"]
-                by_stage[e["Stage ID"]].append(
-                    (ti["Finish Time"] - ti["Launch Time"]) / 1000.0
-                )
+    ev = collect_task_events(event_dir, app_id)
     per_group: dict[str, dict] = {}
-    for sid, durs in by_stage.items():
-        grp = stage_group.get(sid)
+    for sid, durs in ev["by_stage"].items():
+        grp = ev["stage_group"].get(sid)
         if grp in (None, "untimed"):
             continue
         cur = per_group.get(grp)
         if cur is None or sum(durs) > cur["_total"]:
-            durs = sorted(durs)
-            per_group[grp] = {
-                "_total": sum(durs),
-                "stage": sid,
-                "n_tasks": len(durs),
-                "median": round(durs[len(durs) // 2], 3),
-                "p99": round(durs[int(len(durs) * 0.99)], 3),
-                "max": round(durs[-1], 3),
-            }
+            per_group[grp] = {"_total": sum(durs), **stage_stats(sid, durs)}
     for v in per_group.values():
         v.pop("_total")
     return per_group
@@ -342,8 +330,7 @@ def main() -> None:
         for name, q in queries.items():
             st = q["straggler"]
             assert st is not None, f"{name}: no tasks attributed in event log"
-            assert st["max"] <= max(4 * st["median"], st["median"] + 4.0), (
-                name, st)
+            assert_no_straggler(st, context=name)
             assert q["ratio"] <= RATIO_CAP, (name, q)
             assert q["soak_rows"] > 0, (name, "empty soak output")
         print(json.dumps(result))

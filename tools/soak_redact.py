@@ -16,8 +16,6 @@ Scratch lives under /tmp and is deleted on exit. ~10 min at defaults.
 
 from __future__ import annotations
 
-import collections
-import glob
 import json
 import os
 import shutil
@@ -27,6 +25,11 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+# shared event-log extraction + the standing straggler bound (round-7
+# review: three diverging copies of the bound is how bars silently drift)
+from evidence import assert_no_straggler, collect_task_events, stage_stats
 
 
 def main() -> None:
@@ -68,34 +71,14 @@ def main() -> None:
         app_id = info["app_id"]
         assert n_out == n_docs, (n_out, n_docs)
 
-        # -- event-log evidence -----------------------------------------
-        by_stage: dict = collections.defaultdict(list)
-        gc_ms = 0
-        run_ms = 0
-        for f in glob.glob(f"{event_dir}/{app_id}*"):
-            for line in open(f):
-                e = json.loads(line)
-                if e["Event"] != "SparkListenerTaskEnd":
-                    continue
-                ti = e["Task Info"]
-                by_stage[e["Stage ID"]].append(
-                    (ti["Finish Time"] - ti["Launch Time"]) / 1000.0
-                )
-                tm = e.get("Task Metrics") or {}
-                gc_ms += tm.get("JVM GC Time", 0)
-                run_ms += tm.get("Executor Run Time", 0)
+        # -- event-log evidence (shared helpers: tools/evidence.py) ------
+        ev = collect_task_events(event_dir, app_id)
+        gc_ms, run_ms = ev["gc_ms"], ev["run_ms"]
         # dominant stage by TOTAL task time (the Python redact stage) —
         # by task count would pick a many-task trivial stage like the
         # output count
-        stage_id, durs = max(by_stage.items(), key=lambda kv: sum(kv[1]))
-        durs.sort()
-        straggler = {
-            "stage": stage_id,
-            "n_tasks": len(durs),
-            "median": round(durs[len(durs) // 2], 3),
-            "p99": round(durs[int(len(durs) * 0.99)], 3),
-            "max": round(durs[-1], 3),
-        }
+        stage_id, durs = max(ev["by_stage"].items(), key=lambda kv: sum(kv[1]))
+        straggler = stage_stats(stage_id, durs)
         result = {
             "n_docs": n_docs,
             "cores": cores,
@@ -107,9 +90,7 @@ def main() -> None:
         }
         # the soak's pass criteria, asserted here so a regression fails
         # loudly instead of needing a human to eyeball the journal
-        assert straggler["max"] <= max(
-            4 * straggler["median"], straggler["median"] + 4.0
-        ), straggler
+        assert_no_straggler(straggler)
         assert result["gc_frac_of_run"] < 0.15, result
         print(json.dumps(result))
     finally:

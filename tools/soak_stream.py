@@ -37,8 +37,6 @@ Prints ONE JSON line with all measurements.
 
 from __future__ import annotations
 
-import collections
-import glob
 import json
 import os
 import shutil
@@ -48,6 +46,11 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+# shared event-log extraction + the standing straggler bound (round-7
+# review: three diverging copies of the bound is how bars silently drift)
+from evidence import assert_no_straggler, collect_task_events, stage_stats
 
 BASE_EVENTS = 100_000  # sf0.1 events rows
 BASE_DOCS = 5_000      # sf0.1 documents rows
@@ -91,9 +94,11 @@ def _gen_session_wave(spark, in_dir: str, wave: int, users_per_wave: int) -> Non
 
 
 def _gen_doc_wave(spark, in_dir: str, wave: int, docs_per_wave: int) -> None:
-    """Wave `wave` of the dedup corpus: 20% of rows (i%5==0) carry wave-0's
-    text for the same i (cross-wave exact dups); the rest are unique.
-    Distinct texts over W waves of D docs = W*(4D/5) + D/5."""
+    """Wave `wave` of the dedup corpus: the dup slice (i%5==0, i.e.
+    ceil(D/5) of D rows) carries wave-0's text for the same i
+    (cross-wave exact dups); the rest are unique. Distinct texts over W
+    waves = W*(D - ceil(D/5)) + ceil(D/5) — ceil, not floor: floor
+    undercounts by one whenever D%5 != 0 (round-7 review)."""
     from pyspark.sql import functions as F
 
     d = docs_per_wave
@@ -123,29 +128,15 @@ def _gen_doc_wave(spark, in_dir: str, wave: int, docs_per_wave: int) -> None:
 def _stage_straggler_check(event_dir: str, app_id: str,
                            min_stage_sec: float = 5.0) -> list[dict]:
     """Every stage with >= min_stage_sec of total task time must satisfy
-    max <= max(4*median, median+4s) — the repo's standing soak bound.
-    Returns the graded stages' stats (asserts inline)."""
-    by_stage: dict[int, list] = collections.defaultdict(list)
-    for f in glob.glob(f"{event_dir}/{app_id}*"):
-        for line in open(f):
-            e = json.loads(line)
-            if e["Event"] == "SparkListenerTaskEnd":
-                ti = e["Task Info"]
-                by_stage[e["Stage ID"]].append(
-                    (ti["Finish Time"] - ti["Launch Time"]) / 1000.0
-                )
+    the standing soak bound (tools/evidence.py). Returns the graded
+    stages' stats (asserts inline)."""
+    ev = collect_task_events(event_dir, app_id)
     graded = []
-    for sid, durs in sorted(by_stage.items()):
+    for sid, durs in sorted(ev["by_stage"].items()):
         if sum(durs) < min_stage_sec:
             continue
-        durs.sort()
-        st = {
-            "stage": sid,
-            "n_tasks": len(durs),
-            "median": round(durs[len(durs) // 2], 3),
-            "max": round(durs[-1], 3),
-        }
-        assert st["max"] <= max(4 * st["median"], st["median"] + 4.0), st
+        st = stage_stats(sid, durs)
+        assert_no_straggler(st)
         graded.append(st)
     return graded
 
@@ -243,8 +234,15 @@ def main() -> None:
                 "ledger_rows_read": sum(
                     b.get("compacted_rows_read", 0) for b in m),
             })
-        expected_distinct = DOC_WAVES * (docs_per_wave * 4 // 5) \
-            + docs_per_wave // 5
+        # distinct texts: the dup slice is j % 5 == 0 for j in [0, d) —
+        # ceil(d/5) slots shared across ALL waves; every other j is
+        # unique per wave. floor arithmetic (4d/5 + d/5) undercounts by
+        # one whenever d % 5 != 0 (round-7 review) — a correct
+        # dedup_stream then failed the soak spuriously at such sizes.
+        dup_slots = (docs_per_wave + 4) // 5
+        expected_distinct = (
+            DOC_WAVES * (docs_per_wave - dup_slots) + dup_slots
+        )
         got = spark.read.parquet(os.path.join(dd_out, "data")).count()
         result["dedup_stream"] = {
             "waves": dd_waves,
