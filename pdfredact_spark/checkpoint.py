@@ -112,6 +112,14 @@ def guard_stream_config(
     manifests missing n_buckets."""
     path = os.path.join(out_dir, f"{checkpoint_name}_config.json")
     ckpt = os.path.join(out_dir, checkpoint_name)
+
+    def stamp() -> None:  # one serialization site for first-stamp AND re-stamp
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(config, fh)
+        os.replace(tmp, path)
+
     if os.path.isfile(path):
         with open(path) as fh:
             born = json.load(fh)
@@ -122,10 +130,7 @@ def guard_stream_config(
             # corrected config must not wedge the out_dir (round-7
             # review): the CHECKPOINT's birth, not the sidecar's, is
             # the semantic anchor. Re-stamp and proceed.
-            tmp = path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(config, fh)
-            os.replace(tmp, path)
+            stamp()
             return
         if born != config:
             drift = sorted(
@@ -151,11 +156,7 @@ def guard_stream_config(
             f"sidecar (created by a pre-fingerprint build); its birth "
             f"config is unknowable, refusing to guess. Use a new out_dir."
         )
-    os.makedirs(out_dir, exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(config, fh)
-    os.replace(tmp, path)
+    stamp()
 
 
 def _commit(out_dir: str, batch_id: int, manifest: dict) -> None:

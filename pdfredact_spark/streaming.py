@@ -234,7 +234,13 @@ def _verify_lease_still_held(
     foreign holder ran during our batch -> fail LOUDLY so the operator
     re-sizes the ttl and audits the affected batch instead of trusting
     a possibly-raced ledger."""
-    cur = storage.read_json(path)
+    try:
+        cur = storage.read_json(path)
+    except (FileNotFoundError, ValueError):
+        # vanished between isfile and open (a foreign release's remove —
+        # the TOCTOU try_acquire_lease also guards) or torn by a crashed
+        # foreign writer: either way, foreign activity -> the loud path
+        cur = None
     if cur is None or cur.get("owner") != owner or cur.get("released"):
         raise RuntimeError(
             f"ledger lease {path} was taken over while this micro-batch "
@@ -282,8 +288,8 @@ def compact_ledger(
 
     COMPACTOR-vs-COMPACTOR is enforced in code (round 6): pass
     lease_ttl_sec to guard the run with a storage-level lease
-    (out_dir/compaction.lease — POSIX O_EXCL create, or the object
-    store's conditional-PUT CAS). A second compactor finding a live
+    (out_dir/compaction.lease — POSIX flock-serialized claim, or the
+    object store's cross-process conditional-PUT CAS). A second compactor finding a live
     lease returns the current meta untouched; a crashed holder's lease
     is taken over once its ttl passes. Size the ttl safely above the
     longest expected compaction. Stream-vs-compactor exclusion is also
@@ -323,10 +329,18 @@ def compact_ledger(
                 import time
 
                 time.sleep(_hold_lease_sec)
-            return compact_ledger(
+            result = compact_ledger(
                 spark, out_dir, target_rows_per_prefix, storage,
                 lease_ttl_sec=None, lease_owner=lease_owner,
             )
+            # Symmetric to dedup_stream's post-batch check (round-7
+            # review): a fold that outran the ttl AND lost the lease to
+            # a usurper (a writer or another compactor ran concurrently)
+            # must fail loudly — its meta flip / delta deletes may have
+            # raced the usurper's scan. Mere expiry with no takeover is
+            # harmless and stays quiet.
+            _verify_lease_still_held(storage, lease, lease_owner)
+            return result
         finally:
             storage.release_lease(lease, lease_owner)
     ledger_dir = join(out_dir, "ledger")

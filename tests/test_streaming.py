@@ -675,7 +675,7 @@ def test_compaction_lease_excludes_second_compactor(spark, tmp_path, ledger_stor
     current meta WITHOUT folding (deltas untouched); a crashed holder's
     expired lease is taken over and compaction proceeds; releasing
     frees it for the next run. Parameterized over both backends (POSIX
-    O_EXCL create vs object-store conditional-PUT CAS)."""
+    flock-serialized claim vs object-store conditional-PUT CAS)."""
     import os
 
     from pdfredact_spark.streaming import (
@@ -757,6 +757,44 @@ def test_writer_lease_usurpation_detected(tmp_path, ledger_storage):
     st.release_lease(lease, "compactor-x")
     with pytest.raises(RuntimeError, match="taken over"):
         _verify_lease_still_held(st, lease, "writer-a")
+
+
+def test_compactor_lease_usurpation_detected(spark, tmp_path, ledger_storage):
+    """Symmetric twin of the writer-side check (round-7 review): a
+    compactor that outruns its ttl and loses the lease to a foreign
+    holder mid-fold must fail LOUDLY after folding, not release
+    silently — its meta flip / delta deletes may have raced the
+    usurper. Driven with a real expiry: ttl far below _hold_lease_sec,
+    a timer claims the lease during the hold."""
+    import os
+    import threading
+
+    import pytest
+
+    from pdfredact_spark.streaming import compact_ledger
+
+    st = ledger_storage
+    out_dir = str(tmp_path / "dd")
+    os.makedirs(out_dir)
+    lease = os.path.join(out_dir, "compaction.lease")
+
+    stole = {}
+
+    def usurp():
+        stole["got"] = st.try_acquire_lease(lease, "usurper", ttl_sec=3600)
+
+    t = threading.Timer(0.6, usurp)
+    t.start()
+    try:
+        with pytest.raises(RuntimeError, match="taken over"):
+            compact_ledger(spark, out_dir, storage=st,
+                           lease_ttl_sec=0.15, _hold_lease_sec=1.2)
+    finally:
+        t.join()
+    assert stole["got"]  # the foreign claim really happened (ttl expired)
+    # and the usurper's live lease survived the loser's release attempt
+    cur = st.read_json(lease)
+    assert cur is not None and cur["owner"] == "usurper", cur
 
 
 def test_lease_torn_file_treated_as_stale(tmp_path, ledger_storage):

@@ -357,8 +357,9 @@ print("FLOW9 resumed to", n9, "docs; pre-kill manifests untouched")
 # foreign holder (or, at worst under extreme scheduling delay, the
 # already-folded ledger). Exactly ONE fold must happen (meta gen 0,
 # compacted_by == A's owner), B must no-op, and the ledger content must
-# be intact. The in-process CAS/O_EXCL atomicity is pinned by unit
-# tests; this flow proves the PROTOCOL across process boundaries at the
+# be intact. The storage-level atomicity (flock-serialized POSIX
+# claim, cross-process conditional-PUT CAS) is pinned by unit tests
+# and the multi-process stress harness (tools/lease_stress.py); this flow proves the PROTOCOL across process boundaries at the
 # north rule's spark-submit run mode, on both storage backends.
 from pdfredact_spark.catalog import LOCAL_LEDGER_STORAGE, ObjectStoreLedgerStorage
 
