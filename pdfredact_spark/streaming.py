@@ -476,6 +476,7 @@ def dedup_stream(
     storage: LedgerStorage = LOCAL_LEDGER_STORAGE,
     lease_ttl_sec: float | None = None,
     lease_wait_sec: float | None = None,
+    _hold_writer_lease_sec: float = 0.0,
 ) -> int:
     """Streaming exact dedup over a continuously-ingested documents table:
     each micro-batch keeps one row per content fingerprint (min doc_id —
@@ -520,7 +521,11 @@ def dedup_stream(
     retries. Pass lease_ttl_sec whenever more than one driver may touch
     the same out_dir; size the ttl above the longest expected
     compaction AND micro-batch. Returns the number of micro-batches
-    executed.
+    executed. _hold_writer_lease_sec is a drive/test hook (precedent:
+    compact_ledger's _hold_lease_sec): sleep that long after each
+    batch's lease acquire, before its ledger work, so a verify drive
+    can park a live WRITER and prove a second real driver process's
+    compactor gets excluded (tools/verify_drive.py flow 11).
     """
     from pyspark.sql.window import Window
 
@@ -541,6 +546,10 @@ def dedup_stream(
                 storage, lease_path, writer_owner, lease_ttl_sec,
                 lease_wait_sec,
             )
+            if _hold_writer_lease_sec:
+                import time
+
+                time.sleep(_hold_writer_lease_sec)
         try:
             _process_batch(batch_df, batch_id)
             if lease_ttl_sec is not None:

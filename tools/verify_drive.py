@@ -450,5 +450,152 @@ for backend in ("posix", "objectstore"):
     print(f"FLOW10 [{backend}] lease race: one winner (racer-A), "
           f"racer-B {b_path}, ledger intact")
 
+# ---- flow 11 (round 7 cont.): writer-vs-compactor across REAL drivers --
+# Flow 10 races two compactors; this flow races the OTHER pair the
+# round-7 lease claims cover: a live dedup_stream WRITER (micro-batch
+# holding the out_dir lease across its ledger read + delta write) vs a
+# foreign compactor process, both directions:
+#   (a) writer holds (parked via _hold_writer_lease_sec) -> the foreign
+#       compactor meets the live lease and no-ops (nothing folded, the
+#       writer's delta lands intact after the compactor already left);
+#   (b) a foreign compactor parks on the lease -> the writer's batch
+#       BLOCKS (blocking acquire) and only drains after the release —
+#       proven by wall-clock: the writer cannot finish before the
+#       parked hold ends.
+_writer_code = r"""
+import json, sys
+from pdfredact_spark.catalog import LOCAL_LEDGER_STORAGE, ObjectStoreLedgerStorage
+from pdfredact_spark.session import get_spark
+from pdfredact_spark.streaming import dedup_stream
+
+in_dir, out_dir, backend, hold = (
+    sys.argv[1], sys.argv[2], sys.argv[3], float(sys.argv[4]))
+st = LOCAL_LEDGER_STORAGE if backend == "posix" else ObjectStoreLedgerStorage()
+spark = get_spark(master="local[2]", app_name="leased-writer",
+                  shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+n = dedup_stream(spark, in_dir, out_dir, storage=st, lease_ttl_sec=600,
+                 lease_wait_sec=240, _hold_writer_lease_sec=hold)
+rows = {r["text"]: r["doc_id"]
+        for r in spark.read.parquet(out_dir + "/data").collect()}
+print("WRITER-RESULT " + json.dumps({"n_batches": n, "rows": rows}),
+      flush=True)
+spark.stop()
+"""
+
+for backend in ("posix", "objectstore"):
+    st11 = LOCAL_LEDGER_STORAGE if backend == "posix" else ObjectStoreLedgerStorage()
+    # -- (a) parked writer excludes a foreign compactor ------------------
+    in11 = os.path.join(out_root, f"dd11_in_{backend}")
+    dd11 = os.path.join(out_root, f"dd11_{backend}")
+    spark.createDataFrame(
+        [(1, "w-a", "en", "s", 3), (2, "w-a", "en", "s", 3),
+         (3, "w-b", "en", "s", 3)], dd_schema
+    ).coalesce(1).write.mode("append").parquet(in11)
+    lease11 = os.path.join(dd11, "compaction.lease")
+
+    wlog = open(os.path.join(out_root, f"flow11-{backend}-writer.log"), "w")
+    child_w = subprocess.Popen(
+        [sys.executable, "-c", _writer_code, in11, dd11, backend, "30.0"],
+        env=env9, stdout=wlog, stderr=subprocess.STDOUT,
+        start_new_session=True,
+    )
+    deadline11 = _time.time() + 240
+    while _time.time() < deadline11 and not os.path.isfile(lease11):
+        if child_w.poll() is not None:
+            raise AssertionError(
+                f"flow 11a ({backend}): writer exited rc={child_w.returncode} "
+                f"before acquiring the lease")
+        _time.sleep(0.2)
+    assert os.path.isfile(lease11), f"flow 11a ({backend}): lease never appeared"
+
+    clog_path = os.path.join(out_root, f"flow11-{backend}-compactor.log")
+    clog = open(clog_path, "w")
+    child_c = subprocess.Popen(
+        [sys.executable, "-c", _compactor_code, dd11, backend,
+         "foreign-compactor", "0.0"],
+        env=env9, stdout=clog, stderr=subprocess.STDOUT,
+        start_new_session=True,
+    )
+    rc_c = child_c.wait(timeout=240)
+    with open(clog_path) as fh:
+        cbody = fh.read()
+    assert rc_c == 0, f"flow 11a ({backend}) compactor rc={rc_c}:\n{cbody[-2000:]}"
+    cline = [l for l in cbody.splitlines() if l.startswith("COMPACTOR-RESULT ")]
+    crep = json.loads(cline[-1][len("COMPACTOR-RESULT "):])
+    # the compactor must have met the live WRITER hold and no-op'd
+    assert not crep["i_folded"], crep
+    assert crep["ret"] is None, crep  # blocked during the writer's batch
+
+    rc_w = child_w.wait(timeout=240)
+    wlog_path = os.path.join(out_root, f"flow11-{backend}-writer.log")
+    with open(wlog_path) as fh:
+        wbody = fh.read()
+    assert rc_w == 0, f"flow 11a ({backend}) writer rc={rc_w}:\n{wbody[-2000:]}"
+    wline = [l for l in wbody.splitlines() if l.startswith("WRITER-RESULT ")]
+    wrep = json.loads(wline[-1][len("WRITER-RESULT "):])
+    assert wrep["rows"] == {"w-a": 1, "w-b": 3}, wrep  # drain exact post-race
+    # the writer's delta survived the excluded compactor
+    assert [d for d in st11.list_dirs(os.path.join(dd11, "ledger", "batch=*"))
+            if st11.has_parquet(d)], "writer delta missing"
+    print(f"FLOW11a [{backend}] parked writer excluded a real foreign "
+          f"compactor; drain exact")
+
+    # -- (b) parked foreign compactor blocks the writer's batch ----------
+    in11b = os.path.join(out_root, f"dd11b_in_{backend}")
+    dd11b = os.path.join(out_root, f"dd11b_{backend}")
+    for wv in ([(1, "x-a")], [(2, "x-a"), (3, "x-b")]):
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in wv], dd_schema
+        ).coalesce(1).write.mode("append").parquet(in11b)
+    dedup_stream(spark, in11b, dd11b, storage=st11)  # seed deltas, no lease
+    lease11b = os.path.join(dd11b, "compaction.lease")
+    HOLD_B = 35.0
+    child_a = subprocess.Popen(
+        [sys.executable, "-c", _compactor_code, dd11b, backend,
+         "parked-compactor", str(HOLD_B)],
+        env=env9,
+        stdout=open(os.path.join(out_root, f"flow11b-{backend}-comp.log"), "w"),
+        stderr=subprocess.STDOUT, start_new_session=True,
+    )
+    deadline11b = _time.time() + 240
+    while _time.time() < deadline11b and not os.path.isfile(lease11b):
+        if child_a.poll() is not None:
+            raise AssertionError(
+                f"flow 11b ({backend}): compactor exited early "
+                f"rc={child_a.returncode}")
+        _time.sleep(0.2)
+    t_held = _time.time()  # compactor holds from (at latest) here
+    spark.createDataFrame(
+        [(4, "x-b", "en", "s", 3), (5, "x-c", "en", "s", 3)], dd_schema
+    ).coalesce(1).write.mode("append").parquet(in11b)
+    wlog2_path = os.path.join(out_root, f"flow11b-{backend}-writer.log")
+    child_w2 = subprocess.Popen(
+        [sys.executable, "-c", _writer_code, in11b, dd11b, backend, "0.0"],
+        env=env9, stdout=open(wlog2_path, "w"), stderr=subprocess.STDOUT,
+        start_new_session=True,
+    )
+    rc_w2 = child_w2.wait(timeout=300)
+    t_done = _time.time()
+    with open(wlog2_path) as fh:
+        wbody2 = fh.read()
+    assert rc_w2 == 0, f"flow 11b ({backend}) writer rc={rc_w2}:\n{wbody2[-2000:]}"
+    # the writer CANNOT have finished before the parked hold ended: its
+    # batch's blocking acquire had to wait out the live foreign lease
+    assert t_done - t_held >= HOLD_B - 1.0, (
+        f"flow 11b ({backend}): writer finished {t_done - t_held:.1f}s after "
+        f"the hold began — it cannot have blocked on the {HOLD_B}s hold")
+    assert child_a.wait(timeout=120) == 0
+    wrep2 = json.loads(
+        [l for l in wbody2.splitlines()
+         if l.startswith("WRITER-RESULT ")][-1][len("WRITER-RESULT "):])
+    # post-release drain is exact: dup of the folded ledger not re-emitted
+    assert wrep2["rows"] == {"x-a": 1, "x-b": 3, "x-c": 5}, wrep2
+    meta11b = _read_ledger_meta(dd11b, st11)
+    assert meta11b is not None and meta11b["compacted_by"] == "parked-compactor"
+    print(f"FLOW11b [{backend}] writer batch blocked on a parked real "
+          f"compactor ({t_done - t_held:.0f}s >= {HOLD_B:.0f}s), then "
+          f"drained exact")
+
 print("VERIFY-DRIVE-OK")
 spark.stop()
