@@ -86,45 +86,68 @@ def run_worker(
     while time.monotonic() < deadline:
         i += 1
         owner = f"w{pid}-{i}"
+        t_claim = time.time()  # BEFORE acquire: conservative expiry base
         if not storage.try_acquire_lease(lease_path, owner, ttl_sec):
             time.sleep(rng.uniform(0, 0.002))
             continue
         wins += 1
-        my_expires = time.time() + ttl_sec  # local estimate, see GUARD
+        # my_expires UNDER-estimates the storage's stamp (sampled before
+        # the acquire call), so "I am provably live" below is
+        # conservative — a stall inside acquire can never inflate it.
+        my_expires = t_claim + ttl_sec
         GUARD = 0.05  # absorbs storage-vs-local expiry stamp skew
         # --- inside the (claimed) critical section -------------------
-        prev = _read_token(token_path)
-        if prev:
+        # Token protocol: EVERY mutation (mark AND clear) embeds its
+        # writer's expiry estimate, so a grader can always distinguish a
+        # live counterparty (true double-admission) from the late write
+        # of an overrunning, legally-usurped holder (scheduling artifact
+        # the lease contract explicitly excludes). A violation is logged
+        # ONLY when both sides are provably inside their ttls: the
+        # grader by its own conservative clock, the counterparty by the
+        # expiry embedded in the token it wrote.
+        def foreign_live(token: bytes, now: float) -> bool:
             try:
-                prev_expires = float(prev.rsplit(b"|", 1)[1])
-            except (IndexError, ValueError):
-                prev_expires = 0.0
-            if time.time() < prev_expires - GUARD:
-                # the previous holder is provably still inside its ttl
-                # AND inside its critical section: true double-admission.
-                # A stale token from an overrunning (descheduled) holder
-                # carries a past expiry and is NOT a violation.
-                _log_violation(
-                    violations_path,
-                    f"ENTER-OVERLAP {owner} found live token {prev!r}",
+                kind, exp = token.rsplit(b"|", 1)
+                return now < float(exp) - GUARD and not kind.startswith(
+                    b"cleared-"
                 )
+            except (IndexError, ValueError):
+                return False  # unparseable = can't prove liveness
+
+        prev = _read_token(token_path)
+        now0 = time.time()  # sampled AFTER the read: provably-then state
+        if prev and foreign_live(prev, now0):
+            # previous holder provably inside its ttl AND inside its
+            # critical section when we entered: true double-admission
+            _log_violation(
+                violations_path,
+                f"ENTER-OVERLAP {owner} found live token {prev!r}",
+            )
         tag = f"{owner}|{my_expires}".encode()
         if time.time() < my_expires - GUARD:
             _write_token(token_path, tag)
             time.sleep(rng.uniform(0.001, 0.004))  # hold << ttl
-            now_ts = time.time()
             cur = _read_token(token_path)
-            if cur != tag and now_ts < my_expires - GUARD:
-                # someone wrote while we were provably still live
+            now1 = time.time()  # AFTER the read (a stall between a
+            # pre-read sample and the read could grade a legal
+            # post-expiry takeover with a stale "I was live" timestamp)
+            if (
+                cur != tag
+                and now1 < my_expires - GUARD  # I am provably live...
+                and foreign_live(cur, now1)  # ...and so is the writer
+            ):
                 _log_violation(
                     violations_path,
                     f"TOKEN-STOLEN {owner} wrote {tag!r} read back {cur!r}",
                 )
             if time.time() < my_expires - GUARD:
-                _write_token(token_path, b"")
+                _write_token(
+                    token_path, f"cleared-{owner}|{my_expires}".encode()
+                )
         # an overrunning holder touches nothing further (like a crash);
-        # release itself is owner-checked so a late release cannot
-        # clobber a usurper.
+        # its possible late writes carry a stale embedded expiry, so no
+        # grader counts them; release itself is owner-checked so a late
+        # release cannot clobber a usurper.
         # --------------------------------------------------------------
         if rng.random() < crash_prob:
             continue  # simulated crash: never release; expiry -> takeover
