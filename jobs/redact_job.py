@@ -113,6 +113,15 @@ def main() -> None:
         p_r.add_argument("--save-plan")
         p_r.add_argument("--error-output")
         p_r.add_argument("--resume-dir")
+        p_r.add_argument(
+            "--lease-ttl-sec", type=float, default=None,
+            help="guard --resume-dir with a run lease (out_dir/run.lease): "
+                 "a second concurrent driver blocks, then no-ops on the "
+                 "winner's committed batches instead of racing its "
+                 "overwrites (unleased concurrent drivers can silently "
+                 "lose a batch — see checkpoint.run_resumable). The ttl "
+                 "must outlast one batch; a crashed holder expires into "
+                 "takeover.")
         add_rule_flags(p_r)
 
     args = ap.parse_args()
@@ -163,7 +172,9 @@ def main() -> None:
         if args.resume_dir:
             from pdfredact_spark.checkpoint import read_errors, run_resumable
 
-            out = run_resumable(spark, docs, args.resume_dir, rules, flatten=flatten)
+            out = run_resumable(spark, docs, args.resume_dir, rules,
+                                flatten=flatten,
+                                lease_ttl_sec=args.lease_ttl_sec)
             out.select("doc_id", "spans").write.mode("overwrite").parquet(args.output)
             _report_errors(read_errors(spark, args.resume_dir), args.error_output)
         elif args.save_plan and not flatten:

@@ -191,6 +191,31 @@ class LedgerStorage:
                 except FileNotFoundError:
                     pass
 
+    def renew_lease(self, path: str, owner: str, ttl_sec: float) -> bool:
+        """Extend a lease this owner still holds (the run-long-hold
+        primitive: run_resumable holds one lease across many batches and
+        re-stamps the expiry before each, so the ttl only needs to
+        outlast a single batch, not the whole run). True = extended;
+        False = the record is absent, torn, tombstoned, or carries a
+        foreign owner — some other holder ran, the caller must fail
+        loudly, and this call must NOT have clobbered the usurper.
+        Expired-but-still-ours renews fine: expiry with no takeover is
+        harmless (the verify_lease_still_held verdict). Same mutex as
+        acquire/release, so renew-vs-takeover racers serialize."""
+        import time
+
+        with self._lease_mutex(path):
+            try:
+                cur = self.read_json(path)
+            except (ValueError, FileNotFoundError):
+                return False  # torn/vanished can't be provably ours
+            if cur is None or cur.get("owner") != owner or cur.get("released"):
+                return False
+            self.write_json_atomic(
+                path, {"owner": owner, "expires": time.time() + ttl_sec}
+            )
+            return True
+
 
 LOCAL_LEDGER_STORAGE = LedgerStorage()
 
@@ -456,6 +481,102 @@ class ObjectStoreLedgerStorage(LedgerStorage):
             )
         except ConditionFailed:
             return  # lost a takeover race: not ours to release anymore
+
+    def renew_lease(self, path: str, owner: str, ttl_sec: float) -> bool:
+        """Renew as a conditional PUT on the CURRENT record's etag: if a
+        usurper (or a release tombstone) replaced the record between our
+        read and the PUT, the etag no longer matches and the renew loses
+        — it can never resurrect a lost lease over a foreign holder."""
+        import json
+        import time
+
+        cur = self._get(path)
+        if cur is None:
+            return False
+        try:
+            obj = json.loads(cur)
+        except ValueError:
+            return False  # torn/garbage can't be provably ours
+        if obj.get("owner") != owner or obj.get("released"):
+            return False
+        try:
+            self.put_json_if(
+                path,
+                {"owner": owner, "expires": time.time() + ttl_sec},
+                self._etag(cur),
+            )
+            return True
+        except ConditionFailed:
+            return False  # raced a takeover: the usurper keeps the lease
+
+
+def unique_owner(role: str) -> str:
+    """Per-process unique lease owner (ADVICE r6: a shared constant voids
+    release_lease's owner check between two real processes)."""
+    import os
+    import socket
+    import uuid
+
+    return f"{role}-{socket.gethostname()}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+
+
+def acquire_lease_blocking(
+    storage: LedgerStorage, path: str, owner: str, ttl_sec: float,
+    wait_sec: float,
+) -> None:
+    """Acquire a storage lease, waiting out a live holder. Waiting
+    ``ttl + margin`` outlasts both a live holder that releases on
+    completion and a crashed holder whose lease expires into takeover;
+    past the deadline, fail LOUDLY — a writer that proceeded without the
+    lease would reopen exactly the concurrent-holder race the lease
+    exists to close (delta-vs-fold for the streaming ledger,
+    commit-vs-overwrite for the batch run)."""
+    import time
+
+    deadline = time.monotonic() + wait_sec
+    while not storage.try_acquire_lease(path, owner, ttl_sec):
+        if time.monotonic() > deadline:
+            raise RuntimeError(
+                f"could not acquire lease {path} within {wait_sec:.0f}s: "
+                f"another holder keeps it past its ttl. If its process is "
+                f"dead, the lease expires into takeover at ttl; a longer "
+                f"hold means the ttl is undersized for the holder's actual "
+                f"work duration."
+            )
+        time.sleep(0.5)
+
+
+def verify_lease_still_held(
+    storage: LedgerStorage, path: str, owner: str
+) -> None:
+    """Post-critical-section usurpation check (round-7 review follow-up):
+    a holder that outran its ttl is only HARMED if some other holder
+    actually claimed the lease while this one was still inside its
+    critical section — then the interleave the lease exists to prevent
+    may have happened, and releasing silently would bury it. Merely
+    expiring with nobody taking over is harmless (the record still
+    carries our owner). So: still ours (live or expired) -> fine;
+    absent, tombstoned, or another owner -> a foreign holder ran
+    concurrently -> fail LOUDLY so the operator re-sizes the ttl and
+    audits the affected work instead of trusting a possibly-raced
+    output."""
+    try:
+        cur = storage.read_json(path)
+    except (FileNotFoundError, ValueError):
+        # vanished between isfile and open (a foreign release's remove —
+        # the TOCTOU try_acquire_lease also guards) or torn by a crashed
+        # foreign writer: either way, foreign activity -> the loud path
+        cur = None
+    if cur is None or cur.get("owner") != owner or cur.get("released"):
+        raise RuntimeError(
+            f"lease {path} was taken over while this holder's critical "
+            f"section ran (expected owner {owner}, found "
+            f"{cur and cur.get('owner')!r}): the work outran the lease "
+            f"ttl and a foreign writer/compactor ran concurrently — its "
+            f"output may have raced this holder's reads or writes. "
+            f"Increase the ttl above the longest batch and audit this "
+            f"batch's output before trusting it."
+        )
 
 
 class Catalog:

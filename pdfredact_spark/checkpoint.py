@@ -31,6 +31,13 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdfredact_spark.catalog import (
+    LOCAL_LEDGER_STORAGE,
+    LedgerStorage,
+    acquire_lease_blocking,
+    unique_owner,
+    verify_lease_still_held,
+)
 from pdfredact_spark.model import Rule
 from pdfredact_spark.pipeline import REDACTED_SCHEMA, redact_full
 
@@ -191,16 +198,89 @@ def run_resumable(
     buckets_per_batch: int = 4,
     flatten: bool = False,
     kill_after_batches: int | None = None,
+    lease_ttl_sec: float | None = None,
+    lease_owner: str | None = None,
+    lease_wait_sec: float | None = None,
+    storage: LedgerStorage = LOCAL_LEDGER_STORAGE,
+    _hold_before_commit_sec: float = 0.0,
 ) -> DataFrame:
     """Resumable redaction over ``docs`` (doc_id, spans).
 
     Returns the full output DataFrame read back from ``out_dir/data``.
     ``kill_after_batches`` simulates a crash for the resume test.
+
+    ``lease_ttl_sec`` guards the run with a storage lease
+    (``out_dir/run.lease``, same object family as the streaming ledger's
+    ``compaction.lease``): without it, two concurrent drivers on one
+    out_dir (orchestrator double-launch, zombie retry) both read an
+    empty committed set and both ``overwrite`` the same batch dirs — if
+    one commits the manifest and the other dies mid-overwrite, the
+    committed manifest sits over a half-written data dir and every
+    future resume SKIPS the batch, silently losing documents (reproduced
+    across two real spark-submit drivers; journal, round-7 cont.). The
+    leased run (a) blocks on a live foreign holder (loud timeout at
+    ``lease_wait_sec``, default ttl+30), (b) reads ``committed_batches``
+    only AFTER acquiring — a loser that waited out a winner re-processes
+    nothing, (c) renews the lease before each batch so the ttl need only
+    outlast ONE batch, failing loudly if the lease was usurped, and
+    (d) re-verifies ownership immediately before every manifest commit
+    (the streaming micro-batch check) so an outrun ttl with a real
+    usurper can never stamp a manifest over a possibly-raced batch. A
+    ``kill_after_batches`` "crash" deliberately does NOT release (a real
+    SIGKILL couldn't): the lease expires into takeover. Back-compat:
+    ``None`` (default) keeps the single-driver-per-out_dir contract
+    unleased, exactly as before. ``_hold_before_commit_sec`` is a
+    drive/test hook — park once, before the FIRST commit, while holding
+    the lease, so a second real driver's exclusion is provable.
     """
+    lease_path = storage.join(out_dir, "run.lease")
+    if lease_ttl_sec is not None:
+        if lease_owner is None:
+            lease_owner = unique_owner("runner")
+        if lease_wait_sec is None:
+            lease_wait_sec = lease_ttl_sec + 30.0
+        os.makedirs(out_dir, exist_ok=True)
+        acquire_lease_blocking(
+            storage, lease_path, lease_owner, lease_ttl_sec, lease_wait_sec
+        )
+    crashed = False
+    try:
+        return _run_resumable_batches(
+            spark, docs, out_dir, rules, run_id, n_buckets,
+            buckets_per_batch, flatten, kill_after_batches,
+            lease_ttl_sec, lease_owner, storage, _hold_before_commit_sec,
+        )
+    except KillSwitch:
+        crashed = True  # simulated SIGKILL: leave the lease to expire
+        raise
+    finally:
+        if lease_ttl_sec is not None and not crashed:
+            storage.release_lease(lease_path, lease_owner)
+
+
+def _run_resumable_batches(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    rules: list[Rule],
+    run_id: str,
+    n_buckets: int,
+    buckets_per_batch: int,
+    flatten: bool,
+    kill_after_batches: int | None,
+    lease_ttl_sec: float | None,
+    lease_owner: str | None,
+    storage: LedgerStorage,
+    _hold_before_commit_sec: float,
+) -> DataFrame:
+    lease_path = storage.join(out_dir, "run.lease")
     docs = docs.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     )
     config_fp = _config_fingerprint(rules, flatten, n_buckets)
+    # Under the lease this read is serialized AFTER any prior holder's
+    # commits — a blocked second driver sees the winner's manifests here
+    # and re-processes nothing.
     done = committed_batches(out_dir)
     batch_ids = list(range((n_buckets + buckets_per_batch - 1) // buckets_per_batch))
 
@@ -246,6 +326,19 @@ def run_resumable(
                     "fresh out_dir)"
                 )
             continue
+        if lease_ttl_sec is not None and not storage.renew_lease(
+            lease_path, lease_owner, lease_ttl_sec
+        ):
+            # The record is gone, tombstoned, or foreign: a usurper ran
+            # (or is running) against this out_dir. Processing on would
+            # overwrite batch dirs a concurrent runner may be committing.
+            raise RuntimeError(
+                f"run lease {lease_path} was taken over before batch "
+                f"{batch_id} (owner {lease_owner}): a concurrent runner "
+                f"claimed this out_dir — this run outran lease_ttl_sec. "
+                f"Increase the ttl above the longest batch; audit the "
+                f"usurper's progress before retrying."
+            )
         batch = docs.filter((F.col("bucket") >= lo) & (F.col("bucket") < hi))
         # Materialize the single-pass result ONCE; good/error views are then
         # derived from the written files (no recompute of the Python stage).
@@ -302,6 +395,16 @@ def run_resumable(
         # the already-materialized raw parquet.
         n_errors = errs.count()
         err_rows = errs.limit(100).collect() if n_errors else []
+        if _hold_before_commit_sec and processed == 0:
+            # drive/test hook: park ONCE before the first commit, lease
+            # held, so a second real driver's blocking acquire is provable
+            time.sleep(_hold_before_commit_sec)
+        if lease_ttl_sec is not None:
+            # The streaming micro-batch check, on the commit point: a
+            # batch that outran the ttl AND lost the lease to a usurper
+            # may have raced that runner's overwrite of this very batch
+            # dir — committing the manifest would stamp "done" over it.
+            verify_lease_still_held(storage, lease_path, lease_owner)
         _commit(
             out_dir,
             batch_id,

@@ -163,7 +163,17 @@ def ledger_scan(
 # ALL filesystem I/O in the ledger/compaction path goes through the
 # LedgerStorage interface (catalog.py; ADVICE r4): the local/POSIX
 # implementation ships, an object-store backend is one swapped class.
-from pdfredact_spark.catalog import LOCAL_LEDGER_STORAGE, LedgerStorage
+from pdfredact_spark.catalog import (
+    LOCAL_LEDGER_STORAGE,
+    LedgerStorage,
+    acquire_lease_blocking,
+    unique_owner,
+    verify_lease_still_held,
+)
+
+# The lease helpers moved to catalog.py in the round-7 continuation so
+# the BATCH side (checkpoint.run_resumable) can share them without an
+# import cycle (streaming imports checkpoint.guard_stream_config).
 
 
 def _read_ledger_meta(
@@ -184,73 +194,6 @@ def _prefix_len_for(total_rows: int, target_rows_per_prefix: int) -> int:
     while 16**k * target_rows_per_prefix < total_rows and k < 8:
         k += 1
     return k
-
-
-def _unique_owner(role: str) -> str:
-    """Per-process unique lease owner (ADVICE r6: a shared constant voids
-    release_lease's owner check between two real processes)."""
-    import socket
-    import uuid
-
-    return f"{role}-{socket.gethostname()}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-
-
-def _acquire_lease_blocking(
-    storage: LedgerStorage, path: str, owner: str, ttl_sec: float,
-    wait_sec: float,
-) -> None:
-    """Acquire the compaction/writer lease, waiting out a live holder.
-    Waiting `ttl + margin` outlasts both a live holder that releases on
-    completion and a crashed holder whose lease expires into takeover;
-    past the deadline, fail LOUDLY — a stream writer that proceeded
-    without the lease would reopen the delta-vs-fold race the lease
-    exists to close."""
-    import time
-
-    deadline = time.monotonic() + wait_sec
-    while not storage.try_acquire_lease(path, owner, ttl_sec):
-        if time.monotonic() > deadline:
-            raise RuntimeError(
-                f"could not acquire ledger lease {path} within "
-                f"{wait_sec:.0f}s: a compactor (or another writer) holds "
-                f"it past its ttl. If its process is dead, the lease "
-                f"expires into takeover at ttl; a longer hold means the "
-                f"ttl is undersized for the actual compaction duration."
-            )
-        time.sleep(0.5)
-
-
-def _verify_lease_still_held(
-    storage: LedgerStorage, path: str, owner: str
-) -> None:
-    """Post-critical-section usurpation check (round-7 review follow-up):
-    a micro-batch that outran lease_ttl_sec is only HARMED if some other
-    holder actually claimed the lease while this batch was still reading
-    the ledger / writing its delta — then the fold-vs-delta interleave
-    the lease exists to prevent may have happened, and releasing
-    silently would bury it. Merely expiring with nobody taking over is
-    harmless (the record still carries our owner). So: still ours (live
-    or expired) -> fine; absent, tombstoned, or another owner -> a
-    foreign holder ran during our batch -> fail LOUDLY so the operator
-    re-sizes the ttl and audits the affected batch instead of trusting
-    a possibly-raced ledger."""
-    try:
-        cur = storage.read_json(path)
-    except (FileNotFoundError, ValueError):
-        # vanished between isfile and open (a foreign release's remove —
-        # the TOCTOU try_acquire_lease also guards) or torn by a crashed
-        # foreign writer: either way, foreign activity -> the loud path
-        cur = None
-    if cur is None or cur.get("owner") != owner or cur.get("released"):
-        raise RuntimeError(
-            f"ledger lease {path} was taken over while this micro-batch "
-            f"held it (expected owner {owner}, found "
-            f"{cur and cur.get('owner')!r}): the batch outran "
-            f"lease_ttl_sec and a compactor/writer ran concurrently — "
-            f"its fold may have raced this batch's ledger read or delta "
-            f"write. Increase lease_ttl_sec above the longest micro-batch "
-            f"and audit this batch's output before trusting the ledger."
-        )
 
 
 def compact_ledger(
@@ -320,7 +263,7 @@ def compact_ledger(
     join = storage.join
     if lease_ttl_sec is not None:
         if lease_owner is None:
-            lease_owner = _unique_owner("compactor")
+            lease_owner = unique_owner("compactor")
         lease = join(out_dir, "compaction.lease")
         if not storage.try_acquire_lease(lease, lease_owner, lease_ttl_sec):
             return _read_ledger_meta(out_dir, storage)  # another compactor runs
@@ -339,7 +282,7 @@ def compact_ledger(
             # must fail loudly — its meta flip / delta deletes may have
             # raced the usurper's scan. Mere expiry with no takeover is
             # harmless and stays quiet.
-            _verify_lease_still_held(storage, lease, lease_owner)
+            verify_lease_still_held(storage, lease, lease_owner)
             return result
         finally:
             storage.release_lease(lease, lease_owner)
@@ -536,13 +479,13 @@ def dedup_stream(
     # Writer and compactor contend on the SAME lease object — that is
     # what makes the exclusion mutual (compact_ledger uses this path).
     lease_path = storage.join(out_dir, "compaction.lease")
-    writer_owner = _unique_owner("writer") if lease_ttl_sec is not None else None
+    writer_owner = unique_owner("writer") if lease_ttl_sec is not None else None
     if lease_wait_sec is None and lease_ttl_sec is not None:
         lease_wait_sec = lease_ttl_sec + 30.0
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if lease_ttl_sec is not None:
-            _acquire_lease_blocking(
+            acquire_lease_blocking(
                 storage, lease_path, writer_owner, lease_ttl_sec,
                 lease_wait_sec,
             )
@@ -556,7 +499,7 @@ def dedup_stream(
                 # A batch that outran the ttl AND lost the lease to a
                 # foreign holder may have raced that holder's fold —
                 # surface it loudly instead of releasing silently.
-                _verify_lease_still_held(storage, lease_path, writer_owner)
+                verify_lease_still_held(storage, lease_path, writer_owner)
         finally:
             if lease_ttl_sec is not None:
                 storage.release_lease(lease_path, writer_owner)

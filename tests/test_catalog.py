@@ -278,9 +278,11 @@ def test_lease_single_winner_random_model(tmp_path, ledger_storage, monkeypatch)
     at any instant there is at most one live holder, and try_acquire's
     outcome is exactly predicted by a two-field model {owner, expires} —
     acquire succeeds iff no unexpired lease exists (even the current
-    holder cannot re-acquire its own live lease), release clears only
-    the caller's own record (an expired holder's release must not evict
-    a usurper). Driven as 400 random acquire/release/clock-advance ops
+    holder cannot re-acquire its own live lease), renew extends exactly
+    the records that still carry the caller (round-7 cont.), release
+    clears only the caller's own record (an expired holder's release
+    must not evict a usurper). Driven as 600 random
+    acquire/renew/release/clock-advance ops
     per backend under a monotone fake clock (expiry-driven takeover is
     deterministic in the model, so a divergence pinpoints the op).
     Complements the targeted CAS/tombstone/torn-lease tests: those pin
@@ -302,10 +304,10 @@ def test_lease_single_winner_random_model(tmp_path, ledger_storage, monkeypatch)
         return holder is not None and holder[1] > clock[0]
 
     rng = random.Random(0x1EA5E)
-    n_acquires = n_takeovers = 0
-    for step in range(400):
+    n_acquires = n_takeovers = n_renews = 0
+    for step in range(600):
         op = rng.random()
-        if op < 0.55:
+        if op < 0.45:
             owner = rng.choice(owners)
             ttl = rng.choice([5.0, 50.0])
             was_stale_record = holder is not None and not live()
@@ -316,6 +318,20 @@ def test_lease_single_winner_random_model(tmp_path, ledger_storage, monkeypatch)
             if got:
                 n_acquires += 1
                 n_takeovers += was_stale_record
+                holder = (owner, clock[0] + ttl)
+        elif op < 0.65:
+            # renew (round-7 cont.): succeeds iff the record still
+            # carries the caller — live OR expired-but-unclaimed (expiry
+            # with no takeover is harmless); a tombstoned/foreign/absent
+            # record must refuse AND stay untouched.
+            owner = rng.choice(owners)
+            ttl = rng.choice([5.0, 50.0])
+            got = st.renew_lease(lease, owner, ttl_sec=ttl)
+            assert got == (holder is not None and holder[0] == owner), (
+                step, owner, holder, clock[0] - base, got,
+            )
+            if got:
+                n_renews += 1
                 holder = (owner, clock[0] + ttl)
         elif op < 0.85:
             owner = rng.choice(owners)
@@ -331,7 +347,9 @@ def test_lease_single_winner_random_model(tmp_path, ledger_storage, monkeypatch)
                 step, cur, holder,
             )
     # the sweep must have exercised the interesting transitions
-    assert n_acquires >= 50 and n_takeovers >= 5, (n_acquires, n_takeovers)
+    assert n_acquires >= 50 and n_takeovers >= 5 and n_renews >= 20, (
+        n_acquires, n_takeovers, n_renews,
+    )
 
 
 import pytest as _pytest

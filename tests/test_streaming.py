@@ -732,7 +732,9 @@ def test_writer_lease_usurpation_detected(tmp_path, ledger_storage):
 
     import pytest
 
-    from pdfredact_spark.streaming import _verify_lease_still_held
+    from pdfredact_spark.catalog import (
+        verify_lease_still_held as _verify_lease_still_held,
+    )
 
     st = ledger_storage
     lease = str(tmp_path / "compaction.lease")

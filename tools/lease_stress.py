@@ -127,6 +127,43 @@ def run_worker(
         if time.time() < my_expires - GUARD:
             _write_token(token_path, tag)
             time.sleep(rng.uniform(0.001, 0.004))  # hold << ttl
+            if rng.random() < 0.5 and hasattr(storage, "renew_lease"):
+                # renew mid-hold (round-7 cont.): run_resumable's
+                # run-long-hold primitive, stressed under the same
+                # adversarial timing. Two gradeable outcomes:
+                # * success -> extend my_expires (conservative base
+                #   sampled BEFORE the call) and hold longer under the
+                #   extension — later checks grade against the new ttl;
+                # * denial while PROVABLY live -> violation: a foreign
+                #   takeover/tombstone displaced an unexpired lease
+                #   (renew itself never clobbers, so denial is the only
+                #   side observable here).
+                # A third of renewers first OVERRUN the ttl on purpose
+                # (sleep past expiry, inviting a real takeover) — a
+                # correct renew is then denied and the worker goes
+                # silent (not provably live), while a broken renew that
+                # skips the owner/etag check RESURRECTS over the usurper
+                # and re-enters with a fresh gradeable expiry, lighting
+                # up ENTER-OVERLAP/TOKEN-STOLEN on both sides (sabotage
+                # validation, journal round-7 cont.: 0 violations before
+                # this branch existed, because ms-scale holds never
+                # outran the ttl naturally).
+                if rng.random() < 0.33:
+                    time.sleep(ttl_sec * 1.2)
+                t_renew = time.time()
+                renewed = storage.renew_lease(lease_path, owner, ttl_sec)
+                now_r = time.time()
+                if renewed:
+                    my_expires = t_renew + ttl_sec
+                    tag = f"{owner}|{my_expires}".encode()
+                    if time.time() < my_expires - GUARD:
+                        _write_token(token_path, tag)
+                    time.sleep(rng.uniform(0.001, 0.004))
+                elif now_r < my_expires - GUARD:
+                    _log_violation(
+                        violations_path,
+                        f"RENEW-DENIED {owner} live until {my_expires}",
+                    )
             cur = _read_token(token_path)
             now1 = time.time()  # AFTER the read (a stall between a
             # pre-read sample and the read could grade a legal

@@ -586,5 +586,75 @@ for backend in ("posix", "objectstore"):
           f"compactor ({t_done - t_held:.0f}s >= {HOLD_B:.0f}s), then "
           f"drained exact")
 
+# ------------------------------------------------------------------ flow 12
+# Batch run-lease (round-7 cont.): two REAL drivers race run_resumable on
+# one out_dir, per backend. Without the lease this is the silent-loss
+# scenario (journal: one driver commits the manifest, the other dies
+# mid-overwrite of the same batch dir — resume then skips a half-written
+# batch forever). With it: driver A parks before its FIRST commit with
+# the lease held; driver B's blocking acquire waits out the hold
+# (wall-clock proven), and B's committed_batches read — taken only AFTER
+# acquiring — sees A's manifests, so B re-processes NOTHING (every
+# manifest carries A's run_id) yet still returns the full corpus.
+_runner_code = r"""
+import json, sys, time
+out_dir, backend, run_id, hold = (
+    sys.argv[1], sys.argv[2], sys.argv[3], float(sys.argv[4]))
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .appName("flow12-" + run_id).getOrCreate())
+from pdfredact_spark.catalog import LedgerStorage, ObjectStoreLedgerStorage
+from pdfredact_spark.checkpoint import run_resumable
+from pdfredact_spark.fixtures import SSN_RULE, corpus
+from pdfredact_spark.pipeline import docs_to_df
+st = LedgerStorage() if backend == "posix" else ObjectStoreLedgerStorage()
+docs = docs_to_df(spark, corpus(40))
+out = run_resumable(
+    spark, docs, out_dir, [SSN_RULE], run_id=run_id,
+    n_buckets=8, buckets_per_batch=4,
+    lease_ttl_sec=120.0, storage=st, _hold_before_commit_sec=hold,
+)
+n = out.select("doc_id").distinct().count()
+print("RUNNER-RESULT " + json.dumps({"run_id": run_id, "n_docs": n}))
+spark.stop()
+"""
+
+for backend in ("posix", "objectstore"):
+    out12 = os.path.join(out_root, f"run12_{backend}")
+    lease12 = os.path.join(out12, "run.lease")
+    HOLD12 = 30.0
+    alog12 = os.path.join(out_root, f"flow12-{backend}-A.log")
+    child_a12 = _spawn_driver(
+        _runner_code, [out12, backend, "run-A", HOLD12], alog12)
+    t_held12 = _wait_for_lease(child_a12, lease12,
+                               f"flow 12 ({backend}) runner-A")
+    blog12 = os.path.join(out_root, f"flow12-{backend}-B.log")
+    child_b12 = _spawn_driver(_runner_code, [out12, backend, "run-B", 0.0],
+                              blog12)
+    brep = _driver_result(child_b12, blog12, "RUNNER-RESULT ",
+                          f"flow 12 ({backend}) runner-B")
+    t_b_done = _time.time()
+    arep = _driver_result(child_a12, alog12, "RUNNER-RESULT ",
+                          f"flow 12 ({backend}) runner-A")
+    assert arep["n_docs"] == 40 and brep["n_docs"] == 40, (arep, brep)
+    # B cannot have finished before A's parked hold ended: its blocking
+    # acquire (and post-acquire done-read) had to wait out the live lease
+    assert t_b_done - t_held12 >= HOLD12 - 1.0, (
+        f"flow 12 ({backend}): runner-B finished {t_b_done - t_held12:.1f}s "
+        f"after the hold began — it cannot have blocked on the "
+        f"{HOLD12:.0f}s hold")
+    cdir12 = os.path.join(out12, "_commits")
+    rids = set()
+    for name in sorted(os.listdir(cdir12)):
+        if name.endswith(".json"):
+            with open(os.path.join(cdir12, name)) as fh:
+                rids.add(json.load(fh)["run_id"])
+    assert rids == {"run-A"}, rids  # the loser re-processed nothing
+    print(f"FLOW12 [{backend}] batch run-lease: runner-B blocked "
+          f"{t_b_done - t_held12:.0f}s >= {HOLD12:.0f}s behind parked "
+          f"runner-A, then no-op'd (all manifests run-A); both drained "
+          f"40 docs")
+
 print("VERIFY-DRIVE-OK")
 spark.stop()
