@@ -166,6 +166,26 @@ def guard_stream_config(
     stamp()
 
 
+def _data_file_listing(out_dir: str, batch_id: int) -> list[list]:
+    """Sorted ``[relpath, size]`` pairs of the parquet files under
+    ``data/batch=<k>`` — stamped into the manifest at commit time and
+    re-verified for every committed batch on every later run (round-7
+    cont. third pass). This turns the run lease's one residual window —
+    a zombie driver's in-flight Spark file-moves landing in a batch dir
+    AFTER a legitimate runner committed it — from silent corruption
+    into a loud integrity failure at the next resume, the same way it
+    catches manual tampering or a partial restore. Driver-side listing:
+    one walk per batch per run, independent of data size."""
+    base = os.path.join(out_dir, "data", f"batch={batch_id}")
+    out = []
+    for root, _dirs, files in os.walk(base):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out.append([os.path.relpath(p, base), os.path.getsize(p)])
+    return sorted(out)
+
+
 def _commit(out_dir: str, batch_id: int, manifest: dict) -> None:
     cdir = _commit_dir(out_dir)
     os.makedirs(cdir, exist_ok=True)
@@ -325,6 +345,27 @@ def _run_resumable_batches(
                     "the original rules and flatten setting (or use a "
                     "fresh out_dir)"
                 )
+            listing = _data_file_listing(out_dir, batch_id)
+            if manifest.get("data_files") != listing:
+                # Data-integrity guard (round-7 cont. third pass): the
+                # files now present differ from what the committing run
+                # stamped — a zombie runner's late file-moves, manual
+                # tampering, or a partial restore. Mixing them in (or
+                # silently serving fewer rows) is exactly the loss the
+                # manifest exists to prevent. A manifest MISSING the
+                # field predates the guard: unverifiable, hard error
+                # (the n_buckets precedent — manifest v3).
+                n_rec = manifest.get("data_files")
+                raise ValueError(
+                    f"batch {batch_id}'s data files do not match its "
+                    f"committed manifest (recorded "
+                    f"{'<absent>' if n_rec is None else len(n_rec)} "
+                    f"files, found {len(listing)}): the batch dir was "
+                    f"modified after commit (zombie writer, tampering, "
+                    f"partial restore) or the manifest predates the "
+                    f"integrity guard. Re-run this out_dir from scratch "
+                    f"or restore the committed files."
+                )
             continue
         if lease_ttl_sec is not None and not storage.renew_lease(
             lease_path, lease_owner, lease_ttl_sec
@@ -416,6 +457,7 @@ def _run_resumable_batches(
                 "config_fp": config_fp,
                 "n_errors": n_errors,
                 "errors": [{"doc_id": r["doc_id"], "error": r["error"]} for r in err_rows],
+                "data_files": _data_file_listing(out_dir, batch_id),
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             },
         )

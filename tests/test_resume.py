@@ -202,3 +202,58 @@ def test_sample_frame_indices_rejects_empty_clip():
     assert sample_frame_indices(1, 4) == [0]
     with pytest.raises(ValueError, match="n_frames"):
         sample_frame_indices(0, 4)
+
+
+def test_resume_rejects_modified_committed_data(spark, tmp_path):
+    """Round-7 cont. third pass: each manifest records its batch's
+    parquet listing ([relpath, size]) at commit; every later run
+    re-verifies it for every committed batch. Post-commit modification
+    of a committed batch dir — a zombie runner's late file-moves (the
+    run lease's one residual window), tampering, a partial restore —
+    fails LOUDLY instead of silently mixing foreign rows or serving
+    fewer. A pre-guard manifest (field absent) is unverifiable and
+    equally hard-fails (the n_buckets precedent)."""
+    import json
+
+    docs = docs_to_df(spark, corpus(24))
+    out = str(tmp_path / "o")
+    args = dict(n_buckets=8, buckets_per_batch=4)
+    run_resumable(spark, docs, out, [SSN_RULE], **args)
+    # clean idempotent rerun passes the integrity check on every batch
+    assert run_resumable(spark, docs, out, [SSN_RULE], **args).count() == 24
+
+    base = os.path.join(out, "data", "batch=0")
+    # (a) a zombie's EXTRA file lands after commit
+    bucket_dir = next(
+        os.path.join(base, d) for d in os.listdir(base) if d.startswith("bucket=")
+    )
+    stray = os.path.join(bucket_dir, "part-zombie.snappy.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"not really parquet")
+    with pytest.raises(ValueError, match="do not match its committed manifest"):
+        run_resumable(spark, docs, out, [SSN_RULE], **args)
+    os.remove(stray)
+
+    # (b) a committed file vanishes (the reproduced loss shape)
+    victim = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(base) for f in sorted(fs)
+        if f.endswith(".parquet")
+    )
+    payload = open(victim, "rb").read()
+    os.remove(victim)
+    with pytest.raises(ValueError, match="do not match its committed manifest"):
+        run_resumable(spark, docs, out, [SSN_RULE], **args)
+    with open(victim, "wb") as fh:
+        fh.write(payload)  # restored: green again
+    assert run_resumable(spark, docs, out, [SSN_RULE], **args).count() == 24
+
+    # (c) pre-guard manifest: field absent -> unverifiable, hard error
+    mpath = os.path.join(out, "_commits", "batch-0.json")
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    del manifest["data_files"]
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh)
+    with pytest.raises(ValueError, match="do not match its committed manifest"):
+        run_resumable(spark, docs, out, [SSN_RULE], **args)
