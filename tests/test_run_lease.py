@@ -232,3 +232,109 @@ def test_run_resumable_killswitch_leaves_lease_to_expire(spark, tmp_path):
     )
     assert pre <= committed_batches(out)
     assert got.select("doc_id").distinct().count() == 10
+
+
+# --------------------------------------------------------------------------
+# CC work_dir under the lease (round-7 cont.: the run_resumable design
+# applied to _connected_components' durable work_dirs)
+# --------------------------------------------------------------------------
+
+def _cc_labels(df):
+    return {(r["node"], r["label"]) for r in df.collect()}
+
+
+def test_cc_durable_work_dir_leased_and_released(spark, tmp_path):
+    """A durable-work_dir CC run takes cc.lease, computes exactly, and
+    leaves it claimable; the engine-owned tempfile scratch is private
+    and never leased."""
+    from pdfredact_spark.catalog import LOCAL_LEDGER_STORAGE
+    from pdfredact_spark.queries import _connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    wd = str(tmp_path / "ccwd")
+    got = _cc_labels(_connected_components(edges, work_dir=wd))
+    assert got == {(i, 0) for i in range(31)}
+    lease = os.path.join(wd, "cc.lease")
+    assert LOCAL_LEDGER_STORAGE.try_acquire_lease(lease, "probe", 1.0)
+
+
+def test_cc_second_driver_blocks_then_fast_forwards(spark, tmp_path):
+    """Two concurrent CC runs on one durable work_dir serialize on the
+    lease; the loser — resume decision made only AFTER acquiring — fast-
+    forwards from the winner's converged round (one re-confirm round)
+    instead of recomputing or racing the round dirs."""
+    from pdfredact_spark.queries import _connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    )
+    wd = str(tmp_path / "race")
+    lease = os.path.join(wd, "cc.lease")
+    HOLD = 3.0
+    err: list = []
+    a_rounds: list = []
+
+    def first():
+        try:
+            _connected_components(
+                edges, _rounds=a_rounds, work_dir=wd, _hold_lease_sec=HOLD
+            ).collect()
+        except BaseException as e:
+            err.append(e)
+
+    th = threading.Thread(target=first)
+    th.start()
+    deadline = time.monotonic() + 30.0
+    while time.monotonic() < deadline and not os.path.isfile(lease):
+        time.sleep(0.05)
+    assert os.path.isfile(lease), "first CC run never acquired the lease"
+    t0 = time.monotonic()
+    b_rounds: list = []
+    got = _cc_labels(_connected_components(edges, _rounds=b_rounds, work_dir=wd))
+    waited = time.monotonic() - t0
+    th.join(timeout=120)
+    assert not err, err
+    assert waited >= HOLD - 1.5, (
+        f"second CC run finished {waited:.1f}s after launch — it cannot "
+        f"have blocked on the {HOLD}s hold")
+    assert got == {(i, 0) for i in range(101)}
+    # loser re-confirmed convergence in ONE round off the winner's rounds
+    assert len(b_rounds) == 1 and len(a_rounds) > 1, (b_rounds, a_rounds)
+
+
+def test_cc_usurped_lease_fails_loudly(spark, tmp_path, monkeypatch):
+    """A CC run that outruns its ttl and loses the work_dir to a real
+    usurper fails loudly at the next round boundary instead of racing
+    the usurper's round dirs."""
+    import pytest as _pytest
+
+    from pdfredact_spark.catalog import LOCAL_LEDGER_STORAGE
+    from pdfredact_spark.queries import _connected_components
+
+    monkeypatch.setenv("PDFREDACT_CC_LEASE_TTL", "1.0")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    wd = str(tmp_path / "usurped")
+    lease = os.path.join(wd, "cc.lease")
+
+    def usurp():
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            if LOCAL_LEDGER_STORAGE.try_acquire_lease(lease, "usurper", 60.0):
+                return
+            time.sleep(0.1)
+
+    t = threading.Timer(1.5, usurp)
+    t.start()
+    try:
+        with _pytest.raises(RuntimeError, match="taken over"):
+            _connected_components(
+                edges, work_dir=wd, _hold_lease_sec=4.0
+            ).collect()
+    finally:
+        t.join()
+    cur = LOCAL_LEDGER_STORAGE.read_json(lease)
+    assert cur is not None and cur["owner"] == "usurper"

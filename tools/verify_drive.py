@@ -228,6 +228,10 @@ print("FLOW7 dedup ledger: first-occurrence set exact, gen",
 from pdfredact_spark.queries import _cc_work_dir, _connected_components
 
 os.environ["PDFREDACT_CC_WORKDIR"] = os.path.join(out_root, "cc_work")
+# The durable work_dir is leased (round-7 cont.); the KillSwitch below
+# models SIGKILL and leaves the lease to EXPIRE, so the resume's
+# blocking acquire waits out the ttl — keep it drive-sized.
+os.environ["PDFREDACT_CC_LEASE_TTL"] = "5"
 wd = _cc_work_dir("drive_cc")
 assert wd is not None and wd.startswith(out_root)
 cc_edges = spark.createDataFrame(
