@@ -166,17 +166,21 @@ def guard_stream_config(
     stamp()
 
 
-def _data_file_listing(out_dir: str, batch_id: int) -> list[list]:
+def _data_file_listing(out_dir: str, batch_id: int, subdir: str = "data") -> list[list]:
     """Sorted ``[relpath, size]`` pairs of the parquet files under
-    ``data/batch=<k>`` — stamped into the manifest at commit time and
+    ``<subdir>/batch=<k>`` — stamped into the manifest at commit time and
     re-verified for every committed batch on every later run (round-7
     cont. third pass). This turns the run lease's one residual window —
     a zombie driver's in-flight Spark file-moves landing in a batch dir
     AFTER a legitimate runner committed it — from silent corruption
     into a loud integrity failure at the next resume, the same way it
-    catches manual tampering or a partial restore. Driver-side listing:
-    one walk per batch per run, independent of data size."""
-    base = os.path.join(out_dir, "data", f"batch={batch_id}")
+    catches manual tampering or a partial restore. Covers BOTH committed
+    views: ``data`` (the good rows) and ``raw`` (which read_errors reads
+    back — the zombie overwrites raw FIRST, so a kill in that window
+    leaves data intact but the error view silently truncated).
+    Driver-side listing: one walk per batch per run, independent of
+    data size."""
+    base = os.path.join(out_dir, subdir, f"batch={batch_id}")
     out = []
     for root, _dirs, files in os.walk(base):
         for f in files:
@@ -346,6 +350,15 @@ def _run_resumable_batches(
                     "fresh out_dir)"
                 )
             listing = _data_file_listing(out_dir, batch_id)
+            raw_listing = _data_file_listing(out_dir, batch_id, "raw")
+            if manifest.get("raw_files") != raw_listing:
+                raise ValueError(
+                    f"batch {batch_id}'s raw files do not match its "
+                    f"committed manifest: the raw dir (read_errors' "
+                    f"source) was modified after commit, or the manifest "
+                    f"predates the integrity guard. Re-run this out_dir "
+                    f"from scratch or restore the committed files."
+                )
             if manifest.get("data_files") != listing:
                 # Data-integrity guard (round-7 cont. third pass): the
                 # files now present differ from what the committing run
@@ -458,6 +471,7 @@ def _run_resumable_batches(
                 "n_errors": n_errors,
                 "errors": [{"doc_id": r["doc_id"], "error": r["error"]} for r in err_rows],
                 "data_files": _data_file_listing(out_dir, batch_id),
+                "raw_files": _data_file_listing(out_dir, batch_id, "raw"),
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             },
         )

@@ -248,7 +248,23 @@ def test_resume_rejects_modified_committed_data(spark, tmp_path):
         fh.write(payload)  # restored: green again
     assert run_resumable(spark, docs, out, [SSN_RULE], **args).count() == 24
 
-    # (c) pre-guard manifest: field absent -> unverifiable, hard error
+    # (c) raw/ (read_errors' source) is guarded too — the zombie
+    # overwrites raw FIRST, so a kill there leaves data intact but the
+    # error view silently truncated without this check
+    raw_victim = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(os.path.join(out, "raw", "batch=0"))
+        for f in sorted(fs) if f.endswith(".parquet")
+    )
+    raw_payload = open(raw_victim, "rb").read()
+    os.remove(raw_victim)
+    with pytest.raises(ValueError, match="raw files do not match"):
+        run_resumable(spark, docs, out, [SSN_RULE], **args)
+    with open(raw_victim, "wb") as fh:
+        fh.write(raw_payload)
+    assert run_resumable(spark, docs, out, [SSN_RULE], **args).count() == 24
+
+    # (d) pre-guard manifest: field absent -> unverifiable, hard error
     mpath = os.path.join(out, "_commits", "batch-0.json")
     with open(mpath) as fh:
         manifest = json.load(fh)
