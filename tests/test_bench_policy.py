@@ -59,3 +59,45 @@ def test_mid_probe_counts_toward_contention_score():
         _run(2, True, 0.93, 0.94, mid=0.95),
     ]
     assert pick_result(runs)["run_attempt"] == 2
+
+
+def test_query_canary_median_and_disengage():
+    """Round-7 cont.: the canary is the MEDIAN per-query slowdown vs the
+    quiet-window reference — robust to any single query legitimately
+    changing, moved only by a uniformly slow window — and silently
+    disengages (None) when there is no comparable reference."""
+    from bench import query_canary
+
+    ref = {f"q{i}": 1.0 for i in range(10)}
+    same = {f"q{i}": 1.0 for i in range(10)}
+    assert query_canary(same, ref) == 1.0
+    # one query 10x slower (a legitimate change): median unmoved
+    one_slow = dict(same, q3=10.0)
+    assert query_canary(one_slow, ref) == 1.0
+    # uniformly 3x slower: median flags
+    uniform = {k: 3.0 for k in ref}
+    assert query_canary(uniform, ref) == 3.0
+    # disengage: too few common keys / zero reference times
+    assert query_canary({"a": 1.0}, ref) is None
+    assert query_canary(same, {f"q{i}": 0.0 for i in range(10)}) is None
+
+
+def test_load_reference_gates_on_sf_and_certification(tmp_path, monkeypatch):
+    import json
+
+    import bench
+
+    ref_path = str(tmp_path / "ref.json")
+    monkeypatch.setattr(bench, "REFERENCE_JSON", ref_path)
+    assert bench.load_reference(0.1) is None  # absent: disengaged
+    body = {"sf": 0.1, "contended": False,
+            "queries": {"q1": 1.0}, "redaction": {"sec_high": 9.0}}
+    with open(ref_path, "w") as fh:
+        json.dump(body, fh)
+    got = bench.load_reference(0.1)
+    assert got == {"queries": {"q1": 1.0}, "sec_high": 9.0}
+    assert bench.load_reference(0.01) is None  # other sf: ratios = volume
+    body["contended"] = True  # a flagged reference must never be the bar
+    with open(ref_path, "w") as fh:
+        json.dump(body, fh)
+    assert bench.load_reference(0.1) is None
