@@ -37,6 +37,7 @@ import bisect
 import re
 import unicodedata
 from dataclasses import dataclass, field
+from itertools import accumulate as _accumulate
 
 from pdfredact_spark.spanmodel import (
     DECI,
@@ -67,6 +68,23 @@ _WORD_RE = re.compile(r"[^ \t]+")
 # treats these as glyph characters (_WORD_RE), but str.split() does not —
 # pages containing them must take the general word path
 _ODD_WS_RE = re.compile(r"[^\S \t]")
+# any feature that makes a span NON-"regular" (regular: text == its own
+# single-space word join, zero leading whitespace): a whitespace char other
+# than plain space (tab or odd ws), a leading/trailing space, or a double
+# space. One C-level scan replaces split+join+compare on clean spans.
+_NONREG_RE = re.compile(r"[^\S ]|^ |  | $")
+
+_RX_CACHE: dict[tuple[str, int], "re.Pattern"] = {}
+
+
+def _compiled(pattern: str, flags: int) -> "re.Pattern":
+    """Per-(pattern, flags) compiled-regex cache — same semantics as the
+    re module's internal cache, without its per-call lookup machinery."""
+    key = (pattern, flags)
+    rx = _RX_CACHE.get(key)
+    if rx is None:
+        rx = _RX_CACHE[key] = re.compile(pattern, flags)
+    return rx
 
 
 @dataclass(slots=True)
@@ -140,26 +158,32 @@ def spans_from_cols(kinds: list, texts: list, refs: list, offsets: list) -> list
 # ---------------------------------------------------------------------------
 # Page splitting
 # ---------------------------------------------------------------------------
-def split_pages_cols(kinds: list, texts: list, offsets: list) -> list[PageCtx]:
+def split_pages_cols(
+    kinds: list, texts: list, offsets: list, bands: list | None = None
+) -> list[PageCtx]:
     """Group a doc's spans into pages by offset band (FIXTURES.md §2:
     page band = offset // 200_000_000; marker spans kind='page' open pages).
     Docs without markers get implicit pages with default US-Letter bounds.
+    ``bands`` optionally supplies precomputed offset // PAGE_BASE values
+    (the Arrow stage derives them batch-wide with numpy).
     """
     pages: dict[int, PageCtx] = {}
-    for i, off in enumerate(offsets):
-        band = off // PAGE_BASE
-        number = band if band >= 1 else 1
-        ctx = pages.get(band)
+    get = pages.get
+    if bands is None:
+        bands = [off // PAGE_BASE for off in offsets]
+    for i, band in enumerate(bands):
+        ctx = get(band)
         if ctx is None:
+            number = band if band >= 1 else 1
             ctx = PageCtx(number, 0, DEFAULT_PAGE_W, DEFAULT_PAGE_H, None, band=band)
             pages[band] = ctx
         kind = kinds[i]
-        if kind == "page":
+        if kind == "text":
+            ctx.text_idx.append(i)
+        elif kind == "page":
             num, rot, w, h = parse_page_marker(texts[i])
             ctx.number, ctx.rotation, ctx.width, ctx.height = num, rot, w, h
             ctx.marker_idx = i
-        elif kind == "text":
-            ctx.text_idx.append(i)
         else:
             ctx.other_idx.append(i)
     return [pages[b] for b in sorted(pages)]
@@ -401,7 +425,7 @@ def find_matches(
             flags = rule.regex_flags
         else:
             flags = 0 if rule.case_sensitive else re.IGNORECASE
-        for m in re.finditer(rule.pattern, search_text, flags):
+        for m in _compiled(rule.pattern, flags).finditer(search_text):
             out.append((m.start(), m.end(), m.group(0)))
     else:
         pat = rule.pattern
@@ -449,6 +473,8 @@ def group_units_by_line(units: list[Unit]) -> list[list[Unit]]:
     unit's bottom (fixed per cluster, not a rolling lag)."""
     if not units:
         return []
+    if len(units) == 1:
+        return [units]
     s = sorted(units, key=lambda u: u.bottom)
     groups: list[list[Unit]] = []
     current = [s[0]]
@@ -469,6 +495,19 @@ def region_from_units(
 ) -> Region:
     """CreateRedactionRegion[FromTokens] (PdfPigTextLocator.cs:389-432):
     bbox union of the unit group."""
+    if len(units) == 1:
+        u = units[0]
+        return Region(
+            page=page.number,
+            x=u.left,
+            y=u.bottom,
+            width=u.right - u.left,
+            height=u.top - u.bottom,
+            matched_text=matched_text,
+            rule_pattern=pattern,
+            rotation=page.rotation,
+            chars=list(u.chars),
+        )
     min_x = min(u.left for u in units)
     min_y = min(u.bottom for u in units)
     max_x = max(u.right for u in units)
@@ -490,7 +529,9 @@ def region_from_units(
 # Locate (ProcessPage, PdfPigTextLocator.cs:54-132)
 # ---------------------------------------------------------------------------
 def locate_page(
-    texts: list, offsets: list, page: PageCtx, rules: list[Rule]
+    texts: list, offsets: list, page: PageCtx, rules: list[Rule],
+    rows: list | None = None, x0s: list | None = None,
+    clean: list | None = None,
 ) -> list[Region]:
     regions: list[Region] = []
     frag_rules = [r for r in rules if r.use_fragment_mode()]
@@ -509,7 +550,7 @@ def locate_page(
                         regions.append(region_from_units(page, group, m_text, rule.pattern))
 
     if word_rules:
-        fast = _locate_words_fast(texts, offsets, page, word_rules)
+        fast = _locate_words_fast(texts, offsets, page, word_rules, rows, x0s, clean)
         if fast is not None:
             regions.extend(fast)
         else:
@@ -538,7 +579,9 @@ def _locate_words_general(
 
 
 def _locate_words_fast(
-    texts: list, offsets: list, page: PageCtx, word_rules: list[Rule]
+    texts: list, offsets: list, page: PageCtx, word_rules: list[Rule],
+    rows: list | None = None, x0s: list | None = None,
+    clean: list | None = None,
 ) -> list[Region] | None:
     """O(hits) word-branch: identical output to the unit-materializing path
     but without building per-word objects.
@@ -549,12 +592,29 @@ def _locate_words_fast(
     global word sort (Bottom asc, Left asc) then equals the span-segment
     order). Word structures are materialized lazily, only around match
     positions. Returns None when a page needs the general path
-    (x-overlapping spans on one row)."""
+    (x-overlapping spans on one row). ``rows``/``x0s`` optionally carry
+    precomputed per-span offset geometry (row index, x origin); ``clean``
+    optionally carries a batch-precomputed conservative regularity flag
+    (True implies _NONREG_RE would not match — never the other way)."""
     # Per-span geometry + normalized segment text, sorted by (bottom, left).
     segs = []  # (bottom, left, si, x0, top, t, norm, regular)
+    add = segs.append
+    ph_top = page.height - TOP_MARGIN
     for si in page.text_idx:
-        _, x0, top, bottom = _offset_geom(offsets[si], page.height)
+        if rows is not None:
+            top = ph_top - rows[si] * ROW_PITCH
+            x0 = x0s[si]
+        else:
+            _, x0, top, _ = _offset_geom(offsets[si], page.height)
+        bottom = top - GLYPH_H
         t = texts[si]
+        if (clean[si] if clean is not None else False) or _NONREG_RE.search(t) is None:
+            # clean span: no tab/odd-ws, no leading/trailing/double space —
+            # it IS its own single-space word join (lead = 0, regular)
+            if not t:
+                continue
+            add((bottom, x0, si, x0, top, t, t, True))
+            continue
         if _ODD_WS_RE.search(t):
             # \n/\xa0/... are glyphs in the data model but separators to
             # str.split(): the segment text would diverge from the
@@ -565,33 +625,33 @@ def _locate_words_fast(
             continue
         norm = " ".join(words)
         lead = len(t) - len(t.lstrip(" \t"))
-        segs.append((bottom, x0 + GLYPH_W * lead, si, x0, top, t, norm, norm == t))
-    segs.sort(key=lambda s: (s[0], s[1]))
+        add((bottom, x0 + GLYPH_W * lead, si, x0, top, t, norm, norm == t))
+    # keyless tuple sort == sort by (bottom, left): si (element 2) is unique
+    # per span, so comparison never reaches the later elements on real data
+    segs.sort()
 
     # Same-row x-overlap check: if spans interleave in x, the reference's
-    # global word sort differs from segment order -> general path.
-    by_row: dict[float, list] = {}
-    for s in segs:
-        by_row.setdefault(s[0], []).append(s)
-    for row in by_row.values():
-        prev_right = None
-        for s in row:
-            left = s[1]
-            right = s[3] + GLYPH_W * len(s[5].rstrip(" \t"))
-            if prev_right is not None and left < prev_right:
-                return None
-            prev_right = right
+    # global word sort differs from segment order -> general path. Rows
+    # with a single segment (all bottoms distinct) trivially pass.
+    bots = [s[0] for s in segs]
+    if len(set(bots)) != len(bots):
+        by_row: dict[float, list] = {}
+        for s in segs:
+            by_row.setdefault(s[0], []).append(s)
+        for row in by_row.values():
+            prev_right = None
+            for s in row:
+                left = s[1]
+                right = s[3] + GLYPH_W * len(s[5].rstrip(" \t"))
+                if prev_right is not None and left < prev_right:
+                    return None
+                prev_right = right
 
-    parts: list[str] = []
-    starts: list[int] = []
-    ends: list[int] = []
-    pos = 0
-    for s in segs:
-        starts.append(pos)
-        pos += len(s[6])
-        ends.append(pos)
-        parts.append(s[6])
-        pos += 1
+    parts = [s[6] for s in segs]
+    lens = [len(p) for p in parts]
+    cum = list(_accumulate([l + 1 for l in lens], initial=0))
+    starts = cum[:-1]
+    ends = [a + l for a, l in zip(starts, lens)]
     search = " ".join(parts) + (" " if parts else "")
 
     word_maps: dict[int, list] = {}  # seg idx -> [(norm_a, norm_b, t_a, t_b)]
@@ -666,15 +726,18 @@ def _locate_words_fast(
 
 
 def locate_document_cols(
-    doc_id: str, kinds: list, texts: list, offsets: list, rules: list[Rule]
+    doc_id: str, kinds: list, texts: list, offsets: list, rules: list[Rule],
+    geom: tuple | None = None,
 ) -> list[Region]:
     """LocateText (PdfPigTextLocator.cs:20-52): empty rule set -> empty plan;
-    else per page in order. Columnar core."""
+    else per page in order. Columnar core. ``geom`` optionally carries
+    precomputed (bands, rows, x0s) per-span offset geometry."""
     if not rules:
         return []
+    bands, rows, x0s, clean = geom if geom is not None else (None,) * 4
     regions: list[Region] = []
-    for page in split_pages_cols(kinds, texts, offsets):
-        regions.extend(locate_page(texts, offsets, page, rules))
+    for page in split_pages_cols(kinds, texts, offsets, bands):
+        regions.extend(locate_page(texts, offsets, page, rules, rows, x0s, clean))
     return regions
 
 
@@ -695,15 +758,14 @@ def _sort_cols(
     kinds: list, texts: list, refs: list, offsets: list
 ) -> tuple[list, list, list, list]:
     """Deterministic output order: (offset, kind, media_ref, text) — the
-    columnar equivalent of the wrapper API's dict sort."""
-    order = sorted(
-        range(len(offsets)), key=lambda i: (offsets[i], kinds[i], refs[i], texts[i])
-    )
+    columnar equivalent of the wrapper API's dict sort. Implemented as a
+    keyless C-level tuple sort (same ordering, ties stable)."""
+    rows = sorted(zip(offsets, kinds, refs, texts))
     return (
-        [kinds[i] for i in order],
-        [texts[i] for i in order],
-        [refs[i] for i in order],
-        [offsets[i] for i in order],
+        [r[1] for r in rows],
+        [r[3] for r in rows],
+        [r[2] for r in rows],
+        [r[0] for r in rows],
     )
 
 
@@ -715,6 +777,7 @@ def redact_document_cols(
     offsets: list,
     rules: list[Rule],
     flatten: bool = False,
+    geom: tuple | None = None,
 ) -> tuple[list, list, list, list, list[Region], int]:
     """Fused locate+apply (RedactCommand.cs:126-225 lifecycle), columnar
     core: consumes/produces flat parallel arrays so the Spark stage can
@@ -724,14 +787,18 @@ def redact_document_cols(
     output arrays sorted by (offset, kind, media_ref, text). Raises
     RotationError when any region lands on a rotated page (the reference's
     NotSupportedException). Zero regions -> output == input verbatim
-    (File.Copy pass-through, ApplyCommand.cs:65-69)."""
-    pages = split_pages_cols(kinds, texts, offsets)
+    (File.Copy pass-through, ApplyCommand.cs:65-69). ``geom`` optionally
+    carries precomputed (bands, rows, x0s) per-span offset geometry."""
+    bands, rows, x0s, clean = geom if geom is not None else (None,) * 4
+    pages = split_pages_cols(kinds, texts, offsets, bands)
     if not rules:
         regions: list[Region] = []
     else:
         regions = []
         for page in pages:
-            regions.extend(locate_page(texts, offsets, page, rules))
+            regions.extend(
+                locate_page(texts, offsets, page, rules, rows, x0s, clean)
+            )
 
     if not regions and not flatten:
         return list(kinds), list(texts), list(refs), list(offsets), [], 0
@@ -851,22 +918,20 @@ def _apply_regions_cols(
             mask_refs.append(f"mask:{doc_id}:{page_num}:{seq}")
             mask_offs.append(int(min_off))
 
-    ok: list = []
-    ot: list = []
-    orf: list = []
-    oo: list = []
-    for si in range(len(kinds)):
-        ivs = covered.get(si)
-        if not ivs:
-            ok.append(kinds[si])
-            ot.append(texts[si])
-            orf.append(refs[si])
-            oo.append(offsets[si])
-            continue
+    # Start from wholesale copies (C-level) and patch only the covered
+    # spans in place — the uncovered majority never enters a Python loop
+    # (measured: the old per-span append loop was ~11% of the fused
+    # redaction kernel's time at 38 spans/doc with ~10 covered).
+    ok: list = list(kinds)
+    ot: list = list(texts)
+    orf: list = list(refs)
+    oo: list = list(offsets)
+    for si in sorted(covered, reverse=True):
         # Merge covered intervals, complement them into surviving runs,
         # strip whitespace dangling at cut boundaries, shift offsets per
         # glyph cell — all O(intervals), not O(glyphs).
         text = texts[si]
+        ivs = covered[si]
         ivs.sort()
         merged: list[list[int]] = []
         for a, b in ivs:
@@ -883,6 +948,10 @@ def _apply_regions_cols(
             prev = max(prev, b)
         if prev < len(text):
             runs.append((prev, len(text)))
+        fk: list = []
+        ft: list = []
+        fr: list = []
+        fo: list = []
         for a, b in runs:
             while a < b and text[a] in _WS:
                 a += 1
@@ -890,10 +959,14 @@ def _apply_regions_cols(
                 b -= 1
             if a == b:
                 continue
-            ok.append("text")
-            ot.append(text[a:b])
-            orf.append(refs[si])
-            oo.append(int(offsets[si] + GLYPH_STRIDE * a))
+            fk.append("text")
+            ft.append(text[a:b])
+            fr.append(refs[si])
+            fo.append(int(offsets[si] + GLYPH_STRIDE * a))
+        ok[si:si + 1] = fk
+        ot[si:si + 1] = ft
+        orf[si:si + 1] = fr
+        oo[si:si + 1] = fo
     ok.extend(["mask"] * len(mask_refs))
     ot.extend([""] * len(mask_refs))
     orf.extend(mask_refs)

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +67,7 @@ from pdfredact_spark.model import (
     SPAN_STRUCT,
     Rule,
 )
+from pdfredact_spark.spanmodel import DECI, ROW_BASE
 
 #: docs with more spans than this take the page-parallel mega path
 MEGA_SPAN_THRESHOLD = 4096
@@ -109,7 +111,11 @@ def _span_batch_cols(rb, with_refs: bool = True):
     ``valid[i]`` is False for rows whose spans column is NULL (reachable
     through externally-written parquet with a nullable schema) — callers
     must route those, never treat them as empty docs. ``with_refs=False``
-    skips the media_ref conversion for locate-only callers."""
+    skips the media_ref conversion for locate-only callers.
+
+    Also derives the per-span offset geometry (bands, rows, x0s) batch-wide
+    with numpy — int/float math the kernel would otherwise redo per span in
+    Python (_offset_geom was ~5% of the fused kernel's time)."""
     doc_ids = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
     spans_col = rb.column(rb.schema.get_field_index("spans"))
     valid = spans_col.is_valid().to_pylist()
@@ -124,11 +130,58 @@ def _span_batch_cols(rb, with_refs: bool = True):
     if base != 0 or end != len(flat):
         flat = flat.slice(base, end - base)
         bounds = [None if x is None else x - base for x in bounds]
-    kinds = flat.field("kind").to_pylist()
-    texts = flat.field("text").to_pylist()
-    refs = flat.field("media_ref").to_pylist() if with_refs else None
-    offs = flat.field("offset").to_pylist()
-    return doc_ids, valid, bounds, kinds, texts, refs, offs
+    kinds = _decode_lowcard(flat.field("kind"))
+    text_arr = flat.field("text")
+    texts = text_arr.to_pylist()
+    refs = _decode_lowcard(flat.field("media_ref")) if with_refs else None
+    off_arr = flat.field("offset")
+    offs = off_arr.to_pylist()
+    if off_arr.null_count:
+        # A null offset inside a span must keep raising TypeError in the
+        # kernel (per-doc error routing) — skip the vectorized geometry
+        # so the doc takes the same fallback computation and error path.
+        geom = (None, None, None, None)
+    else:
+        off_np = off_arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        rem = off_np % PAGE_BASE
+        bands = (off_np // PAGE_BASE).tolist()
+        rows = (rem // ROW_BASE).tolist()
+        # NOTE: / DECI (true division), not * 0.1 — bit-identical to
+        # _offset_geom's x0 so the fast/general path equivalence holds.
+        x0s = ((rem % ROW_BASE) / DECI).tolist()
+        # Vectorized conservative clean-span prefilter (RE2): flags any
+        # char outside printable ASCII OR a leading/double/trailing space.
+        # A span with NO flag is provably "regular" under the kernel's
+        # _NONREG_RE (strict superset: every Python-whitespace oddity is
+        # non-printable-ASCII), so the kernel skips its per-span re.search.
+        # Flagged spans (incl. any non-ASCII text) take the exact Python
+        # checks — behavior unchanged, just not vectorized.
+        try:
+            clean = pa.compute.invert(
+                pa.compute.match_substring_regex(text_arr, "[^ -~]|^ |  | $")
+            ).to_pylist()
+        except pa.ArrowInvalid:
+            clean = None
+        geom = (bands, rows, x0s, clean)
+    return doc_ids, valid, bounds, kinds, texts, refs, offs, geom
+
+
+def _decode_lowcard(arr) -> list:
+    """to_pylist for a low-cardinality string child array via dictionary
+    encoding: one Python object per DISTINCT value instead of per element
+    (span kinds are 4 constants; media_refs are mostly ''). Shared objects
+    also make the kernel's kind comparisons pointer-equal. Falls back to a
+    plain to_pylist when encoding is not applicable."""
+    try:
+        d = arr.dictionary_encode()
+    except pa.ArrowInvalid:
+        return arr.to_pylist()
+    vals = d.dictionary.to_pylist()
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    if d.indices.null_count:
+        il = d.indices.to_pylist()
+        return [None if i is None else vals[i] for i in il]
+    return [vals[i] for i in idx.tolist()]
 
 
 def _run_doc_batch(doc_ids, valid, bounds, per_doc):
@@ -188,12 +241,18 @@ def _make_doc_map_arrow(rules: list[Rule], flatten: bool):
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            doc_ids, valid, bounds, kinds, texts, refs, offs = _span_batch_cols(rb)
+            (doc_ids, valid, bounds, kinds, texts, refs, offs,
+             (bands, rows, x0s, clean)) = _span_batch_cols(rb)
 
             def per_doc(i, d, a, b):
+                g = (
+                    (bands[a:b], rows[a:b], x0s[a:b],
+                     clean[a:b] if clean is not None else None)
+                    if bands is not None else None
+                )
                 k, t, r, o, _, h = redact_document_cols(
                     d, kinds[a:b], texts[a:b], refs[a:b], offs[a:b],
-                    rules, flatten=flatten,
+                    rules, flatten=flatten, geom=g,
                 )
                 return k, t, r, o, h
 
@@ -425,9 +484,8 @@ def locate_regions(
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            doc_ids, valid, bounds, kinds, texts, _, offs = _span_batch_cols(
-                rb, with_refs=False
-            )
+            (doc_ids, valid, bounds, kinds, texts, _, offs,
+             (bands, rows, x0s, clean)) = _span_batch_cols(rb, with_refs=False)
             c_d, c_p, c_x, c_y, c_w, c_h, c_mt, c_rp, c_rot = (
                 [], [], [], [], [], [], [], [], []
             )
@@ -438,7 +496,14 @@ def locate_regions(
                     # from the plan (matches the old path's hard failure).
                     raise ValueError(f"doc {d}: spans column is null")
                 a, b = bounds[i], bounds[i + 1]
-                for r in locate_document_cols(d, kinds[a:b], texts[a:b], offs[a:b], rules):
+                g = (
+                    (bands[a:b], rows[a:b], x0s[a:b],
+                     clean[a:b] if clean is not None else None)
+                    if bands is not None else None
+                )
+                for r in locate_document_cols(
+                    d, kinds[a:b], texts[a:b], offs[a:b], rules, geom=g,
+                ):
                     c_d.append(d)
                     c_p.append(r.page)
                     c_x.append(r.x)
@@ -577,7 +642,9 @@ def apply_plans_full(docs: DataFrame, plans: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            doc_ids, valid, bounds, kinds, texts, refs, offs = _span_batch_cols(rb)
+            doc_ids, valid, bounds, kinds, texts, refs, offs, _geom = (
+                _span_batch_cols(rb)
+            )
             # Plans are per-doc tiny (a handful of regions); a plain
             # to_pylist of the (mostly-null) list column is fine here.
             plan_lists = rb.column(rb.schema.get_field_index("plan_regions")).to_pylist()

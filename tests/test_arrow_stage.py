@@ -119,11 +119,21 @@ def test_sliced_batch_values_are_trimmed():
     docs = [corpus_doc(i, 2) for i in range(6)]
     big = _to_batch(docs)
     sl = big.slice(2, 3)
-    doc_ids, valid, bounds, kinds, texts, refs, offs = _span_batch_cols(sl)
+    doc_ids, valid, bounds, kinds, texts, refs, offs, geom = _span_batch_cols(sl)
     assert doc_ids == [d["doc_id"] for d in docs[2:5]]
     assert valid == [True, True, True]
     assert bounds[0] == 0
     assert bounds[-1] == len(kinds) == len(texts) == len(refs) == len(offs)
+    # the vectorized geometry is trimmed to the same slice and matches the
+    # kernel's per-span computation
+    from pdfredact_spark.model import PAGE_BASE as _PB
+    from pdfredact_spark.spanmodel import DECI as _DECI, ROW_BASE as _RB
+    bands, rws, x0s, clean = geom
+    assert len(bands) == len(rws) == len(x0s) == len(clean) == bounds[-1]
+    for off, band, row, x0 in zip(offs, bands, rws, x0s):
+        assert band == off // _PB
+        assert row == (off % _PB) // _RB
+        assert x0 == ((off % _PB) % _RB) / _DECI
     n_expected = sum(len(d["spans"]) for d in docs[2:5])
     assert bounds[-1] == n_expected
     # and the full fn produces the right output for the slice
