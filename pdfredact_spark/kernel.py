@@ -425,8 +425,10 @@ def find_matches(
             flags = rule.regex_flags
         else:
             flags = 0 if rule.case_sensitive else re.IGNORECASE
-        for m in _compiled(rule.pattern, flags).finditer(search_text):
-            out.append((m.start(), m.end(), m.group(0)))
+        out = [
+            (m.start(), m.end(), m.group(0))
+            for m in _compiled(rule.pattern, flags).finditer(search_text)
+        ]
     else:
         pat = rule.pattern
         if not pat:
@@ -532,10 +534,14 @@ def locate_page(
     texts: list, offsets: list, page: PageCtx, rules: list[Rule],
     rows: list | None = None, x0s: list | None = None,
     clean: list | None = None,
+    split_rules: tuple[list[Rule], list[Rule]] | None = None,
 ) -> list[Region]:
     regions: list[Region] = []
-    frag_rules = [r for r in rules if r.use_fragment_mode()]
-    word_rules = [r for r in rules if not r.use_fragment_mode()]
+    if split_rules is not None:
+        frag_rules, word_rules = split_rules
+    else:
+        frag_rules = [r for r in rules if r.use_fragment_mode()]
+        word_rules = [r for r in rules if not r.use_fragment_mode()]
 
     if frag_rules:
         letters = extract_letters(texts, offsets, page.text_idx, page.height)
@@ -632,20 +638,23 @@ def _locate_words_fast(
 
     # Same-row x-overlap check: if spans interleave in x, the reference's
     # global word sort differs from segment order -> general path. Rows
-    # with a single segment (all bottoms distinct) trivially pass.
+    # with a single segment (all bottoms distinct) trivially pass; when
+    # duplicates exist, one sorted-order pass replaces the per-row dict
+    # (rows are contiguous and left-ordered after the sort), and regular
+    # segments skip the trailing-whitespace strip (they have none).
     bots = [s[0] for s in segs]
     if len(set(bots)) != len(bots):
-        by_row: dict[float, list] = {}
+        prev_b = prev_right = None
         for s in segs:
-            by_row.setdefault(s[0], []).append(s)
-        for row in by_row.values():
-            prev_right = None
-            for s in row:
-                left = s[1]
-                right = s[3] + GLYPH_W * len(s[5].rstrip(" \t"))
-                if prev_right is not None and left < prev_right:
-                    return None
-                prev_right = right
+            if s[0] != prev_b:
+                prev_b = s[0]
+                prev_right = None
+            elif s[1] < prev_right:
+                return None
+            t = s[5]
+            prev_right = s[3] + GLYPH_W * (
+                len(t) if s[7] else len(t.rstrip(" \t"))
+            )
 
     parts = [s[6] for s in segs]
     lens = [len(p) for p in parts]
@@ -687,11 +696,41 @@ def _locate_words_fast(
         return first[2], last[3]
 
     regions: list[Region] = []
+    add_region = regions.append
+    page_number = page.number
+    page_rotation = page.rotation
+    bl = bisect.bisect_left
+    br = bisect.bisect_right
     folded = _shared_fold(search, word_rules)
     for rule in word_rules:
+        pattern = rule.pattern
         for m_start, m_end, m_text in find_matches(search, rule, folded):
-            lo_i = bisect.bisect_right(ends, m_start)
-            hi_i = bisect.bisect_left(starts, m_end)
+            lo_i = br(ends, m_start)
+            hi_i = bl(starts, m_end)
+            if hi_i - lo_i == 1 and m_end != m_start:
+                # single-segment match (the overwhelmingly common case):
+                # build the Region directly — the one-Unit group is its
+                # own line group and its own bbox, so Unit /
+                # group_units_by_line / region_from_units add nothing
+                k = lo_i
+                bottom, _, si, x0, top, t, norm, _ = segs[k]
+                c_lo = max(m_start - starts[k], 0)
+                c_hi = min(m_end - starts[k], len(norm))
+                a, b = covered_range(k, c_lo, c_hi)
+                if a < b:
+                    left = x0 + GLYPH_W * a
+                    add_region(Region(
+                        page=page_number,
+                        x=left,
+                        y=bottom,
+                        width=GLYPH_W * b + x0 - left,
+                        height=top - bottom,
+                        matched_text=m_text,
+                        rule_pattern=pattern,
+                        rotation=page_rotation,
+                        chars=[(si, a, b)],
+                    ))
+                continue
             hits: list[Unit] = []
             for k in range(lo_i, hi_i):
                 bottom, _, si, x0, top, t, norm, _ = segs[k]
@@ -735,10 +774,21 @@ def locate_document_cols(
     if not rules:
         return []
     bands, rows, x0s, clean = geom if geom is not None else (None,) * 4
+    split_rules = _split_rules(rules)
     regions: list[Region] = []
     for page in split_pages_cols(kinds, texts, offsets, bands):
-        regions.extend(locate_page(texts, offsets, page, rules, rows, x0s, clean))
+        regions.extend(
+            locate_page(texts, offsets, page, rules, rows, x0s, clean, split_rules)
+        )
     return regions
+
+
+def _split_rules(rules: list[Rule]) -> tuple[list[Rule], list[Rule]]:
+    """(frag_rules, word_rules) — hoisted out of the per-page loop (the
+    tri-state router re-ran per page for a per-job-constant rule set)."""
+    frag = [r for r in rules if r.use_fragment_mode()]
+    word = [r for r in rules if not r.use_fragment_mode()]
+    return frag, word
 
 
 def locate_document(doc_id: str, spans: list[dict], rules: list[Rule]) -> list[Region]:
@@ -794,10 +844,13 @@ def redact_document_cols(
     if not rules:
         regions: list[Region] = []
     else:
+        split_rules = _split_rules(rules)
         regions = []
         for page in pages:
             regions.extend(
-                locate_page(texts, offsets, page, rules, rows, x0s, clean)
+                locate_page(
+                    texts, offsets, page, rules, rows, x0s, clean, split_rules
+                )
             )
 
     if not regions and not flatten:
@@ -881,14 +934,12 @@ def _apply_regions_cols(
     dict collided on multi-band numbers, and deriving the band from the
     DECLARED number could teleport the mask to an empty band — or
     overflow int32 for an absurd declared number)."""
+    by_page: dict[int, list[Region]] = {}
     for r in regions:
         if r.rotation != 0:
             raise RotationError(
                 f"Page rotation ({r.rotation}°) is not currently supported."
             )
-
-    by_page: dict[int, list[Region]] = {}
-    for r in regions:
         by_page.setdefault(r.page, []).append(r)
 
     covered: dict[int, list] = {}  # span_idx -> covered [start, end) ranges

@@ -39,6 +39,7 @@ SURVEY.md J1).
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import numpy as np
@@ -177,6 +178,10 @@ def _decode_lowcard(arr) -> list:
     except pa.ArrowInvalid:
         return arr.to_pylist()
     vals = d.dictionary.to_pylist()
+    if len(vals) <= 16:
+        # intern the handful of distinct values (span kinds) so kernel
+        # comparisons against literal constants hit the identity fast path
+        vals = [sys.intern(v) if isinstance(v, str) else v for v in vals]
     idx = d.indices.to_numpy(zero_copy_only=False)
     if d.indices.null_count:
         il = d.indices.to_pylist()
