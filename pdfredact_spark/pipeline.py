@@ -336,6 +336,139 @@ def _make_page_apply(rules: list[Rule], flatten: bool):
     return fn
 
 
+#: rows per pyarrow-read batch on the direct-scan path — matches the
+#: session default for spark.sql.execution.arrow.maxRecordsPerBatch so
+#: the kernel sees the same batch shape either way
+_PYREAD_BATCH_ROWS = 2048
+
+
+def _parquet_scan_files(df: DataFrame) -> list[str] | None:
+    """The document files behind ``df`` — iff it is a BARE, unpartitioned,
+    local-filesystem parquet scan whose schema is exactly the document
+    model (the shape `spark.read.parquet(corpus)` hands the bench and
+    soak jobs). Anything else (filters, projections, in-memory frames,
+    partition columns, remote filesystems) returns None and the caller
+    keeps the ordinary JVM scan.
+
+    Why: Spark feeds a Python stage by converting scan output
+    row-by-row into Arrow (and the stage's Arrow output back into rows).
+    Measured at the bench redaction leg, that INPUT conversion burns as
+    much CPU as the redaction kernel itself. When the input is plain
+    parquet on a filesystem every executor can read, the Python workers
+    can decode it natively (pyarrow) from a distributed file/row-group
+    list, eliminating the entire input-side conversion. The rows
+    produced are identical — this changes HOW bytes reach the kernel,
+    never what is computed. PDFREDACT_PYREAD=0 disables."""
+    import os
+
+    if os.environ.get("PDFREDACT_PYREAD", "1") == "0":
+        return None
+    try:
+        # simpleString ignores nullability — a read-back parquet schema
+        # is all-nullable while DOC_SCHEMA declares required fields; the
+        # VALUES are what must agree, and null spans/offsets route
+        # through the kernel's error paths identically on both scans
+        if df.schema.simpleString() != DOC_SCHEMA.simpleString():
+            return None
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        rel = plan.relation()
+        if rel.getClass().getSimpleName() != "HadoopFsRelation":
+            return None
+        if rel.fileFormat().getClass().getSimpleName() != "ParquetFileFormat":
+            return None
+        if rel.partitionSchema().length() != 0:
+            return None
+        paths: list[str] = []
+        for f in df.inputFiles():
+            if f.startswith("file:"):
+                from urllib.parse import unquote, urlparse
+
+                paths.append(unquote(urlparse(f).path))
+            elif f.startswith("/"):
+                paths.append(f)
+            else:
+                return None  # remote FS: the JVM scan knows how to read it
+        return sorted(paths) or None
+    except Exception:
+        return None
+
+
+def _pyarrow_scan_units(paths: list[str], parallelism: int) -> list[tuple]:
+    """(path, row_group) work units: file-grain by default (corpus
+    layouts size files to ~1 task each); when files are too FEW to feed
+    the cluster, split at row-group grain (footer metadata reads,
+    bounded to small file counts) — pyarrow reads row groups
+    independently, so a single huge file no longer caps parallelism."""
+    units: list[tuple] = [(p, None) for p in paths]
+    if len(paths) < 2 * parallelism and len(paths) <= 256:
+        try:
+            import pyarrow.parquet as pq
+
+            rg_units: list[tuple] = []
+            for p in paths:
+                n = pq.ParquetFile(p).metadata.num_row_groups
+                rg_units.extend((p, g) for g in range(max(n, 1)))
+            units = rg_units
+        except Exception:
+            units = [(p, None) for p in paths]
+    return units
+
+
+def _make_file_doc_map(doc_map):
+    """Wrap a doc-batch Arrow redactor so it consumes (path, row_group)
+    rows and decodes the parquet itself. Batches are cast to the exact
+    document Arrow schema when a file's physical schema differs (field
+    order / nullability), so the kernel sees byte-identical inputs to
+    the JVM-scan path."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(DOC_SCHEMA)
+
+    def read_units(rb) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        paths = rb.column(0).to_pylist()
+        groups = rb.column(1).to_pylist()
+        for path, g in zip(paths, groups):
+            pf = pq.ParquetFile(path)
+            if g is None:
+                it = pf.iter_batches(
+                    batch_size=_PYREAD_BATCH_ROWS, columns=["doc_id", "spans"]
+                )
+            else:
+                if g >= pf.metadata.num_row_groups:
+                    continue  # guard unit built from a stale footer read
+                it = pf.iter_batches(
+                    batch_size=_PYREAD_BATCH_ROWS,
+                    row_groups=[g],
+                    columns=["doc_id", "spans"],
+                )
+            for b in it:
+                if b.schema.names == target.names and b.schema.types == target.types:
+                    yield b
+                else:
+                    yield (
+                        pa.Table.from_batches([b]).cast(target).to_batches()[0]
+                    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            yield from doc_map(read_units(rb))
+
+    return fn
+
+
+def _redact_files_df(spark: SparkSession, paths: list[str], doc_map) -> DataFrame:
+    units = _pyarrow_scan_units(paths, spark.sparkContext.defaultParallelism)
+    src = spark.createDataFrame(units, "path string, row_group int")
+    # one unit per task: the only thing this exchange moves is the file
+    # list itself (metadata), never document bytes
+    src = src.repartition(len(units))
+    return src.mapInArrow(_make_file_doc_map(doc_map), schema=REDACTED_SCHEMA)
+
+
 def _span_order(a, b):
     """Deterministic reassembly order: offset asc then kind/media_ref/text —
     ties between coincident spans resolve identically on every run/retry."""
@@ -383,6 +516,10 @@ def redact_full(
     if not mega_split:
         if num_partitions:
             df = df.repartition(num_partitions)
+            return df.mapInArrow(doc_map, schema=REDACTED_SCHEMA)
+        files = _parquet_scan_files(df)
+        if files:
+            return _redact_files_df(df.sparkSession, files, doc_map)
         return df.mapInArrow(doc_map, schema=REDACTED_SCHEMA)
 
     # NULL-spans rows must take the doc-grain branch, where the Arrow

@@ -276,3 +276,50 @@ def test_large_random_differential_vs_kernel(spark):
     for d in docs:
         exp, _, _ = redact_document(d["doc_id"], d["spans"], MULTI_RULES)
         assert got[d["doc_id"]] == [(s["kind"], s["text"], s["media_ref"]) for s in exp], d["doc_id"]
+
+
+def test_pyarrow_direct_scan_parity(spark, tmp_path):
+    """The direct pyarrow read path (round 8): a bare parquet scan of the
+    document schema is decoded inside the Python stage from a distributed
+    (path, row_group) list — results must be IDENTICAL to the JVM-scan
+    path, detection must refuse anything but a bare scan, and
+    PDFREDACT_PYREAD=0 must disable it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfredact_spark.fixtures import SSN_RULE, corpus, demo_doc
+    from pdfredact_spark.pipeline import (
+        _parquet_scan_files,
+        docs_to_df,
+        redact_full,
+    )
+
+    docs = corpus(60, mega_every=25)
+    docs.append(demo_doc("rot-err", rotation_page1=90))
+    mem_df = docs_to_df(spark, docs)
+    p = str(tmp_path / "corpus")
+    mem_df.repartition(5).write.parquet(p)
+    scan_df = spark.read.parquet(p)
+
+    files = _parquet_scan_files(scan_df)
+    assert files and len(files) == 5, files
+    # non-bare plans and disabled env must fall back
+    assert _parquet_scan_files(scan_df.where(F.col("doc_id") > "a")) is None
+    os.environ["PDFREDACT_PYREAD"] = "0"
+    try:
+        assert _parquet_scan_files(scan_df) is None
+    finally:
+        os.environ.pop("PDFREDACT_PYREAD", None)
+
+    def key(rows):
+        return {
+            r["doc_id"]: (r["spans"], r["n_rule_hits"], r["error"])
+            for r in rows
+        }
+
+    got = key(redact_full(scan_df, [SSN_RULE]).collect())
+    want = key(redact_full(mem_df, [SSN_RULE]).collect())
+    assert got == want
+    # the rotated doc really exercised the error routing on the new path
+    assert got["rot-err"][2] is not None and "rotation" in got["rot-err"][2].lower()
