@@ -433,9 +433,18 @@ def _make_file_doc_map(doc_map):
         groups = rb.column(1).to_pylist()
         for path, g in zip(paths, groups):
             pf = pq.ParquetFile(path)
+            # use_threads=False: the default spins arrow's GLOBAL cpu
+            # pool (os.cpu_count() threads) in EVERY python worker —
+            # at local[32] that is 32x32 decode threads whose
+            # oversubscription bursts showed up as a 5.7x task-time
+            # tail in the 5M-doc soak (median 3.7s, max 20.8s; with
+            # single-threaded decode the JVM-scan tail is 2.4x). One
+            # Spark task = one core's budget; decode inside it serially.
             if g is None:
                 it = pf.iter_batches(
-                    batch_size=_PYREAD_BATCH_ROWS, columns=["doc_id", "spans"]
+                    batch_size=_PYREAD_BATCH_ROWS,
+                    columns=["doc_id", "spans"],
+                    use_threads=False,
                 )
             else:
                 if g >= pf.metadata.num_row_groups:
@@ -444,6 +453,7 @@ def _make_file_doc_map(doc_map):
                     batch_size=_PYREAD_BATCH_ROWS,
                     row_groups=[g],
                     columns=["doc_id", "spans"],
+                    use_threads=False,
                 )
             for b in it:
                 if b.schema.names == target.names and b.schema.types == target.types:
@@ -462,10 +472,15 @@ def _make_file_doc_map(doc_map):
 
 def _redact_files_df(spark: SparkSession, paths: list[str], doc_map) -> DataFrame:
     units = _pyarrow_scan_units(paths, spark.sparkContext.defaultParallelism)
-    src = spark.createDataFrame(units, "path string, row_group int")
-    # one unit per task: the only thing this exchange moves is the file
-    # list itself (metadata), never document bytes
-    src = src.repartition(len(units))
+    # EXACTLY one unit per partition via parallelize's contiguous
+    # slicing — a repartition(n) here round-robins each input partition
+    # from its own random phase, which clumps 4-6 files onto some tasks
+    # and zero onto others (measured: a 5.7x task-duration tail in the
+    # 5M-doc soak, median 3.5s / max 20.9s; even slicing restores the
+    # JVM scan's flat profile). No exchange at all: the file list is
+    # parallelized directly, document bytes never move.
+    rdd = spark.sparkContext.parallelize(units, len(units))
+    src = spark.createDataFrame(rdd, "path string, row_group int")
     return src.mapInArrow(_make_file_doc_map(doc_map), schema=REDACTED_SCHEMA)
 
 

@@ -318,7 +318,12 @@ def test_pyarrow_direct_scan_parity(spark, tmp_path):
             for r in rows
         }
 
-    got = key(redact_full(scan_df, [SSN_RULE]).collect())
+    out = redact_full(scan_df, [SSN_RULE])
+    # one (path, row_group) unit per task — a round-robin repartition
+    # here clumped 4-6 files onto some tasks (5.7x soak straggler)
+    assert out.rdd.getNumPartitions() == 5
+
+    got = key(out.collect())
     want = key(redact_full(mem_df, [SSN_RULE]).collect())
     assert got == want
     # the rotated doc really exercised the error routing on the new path
